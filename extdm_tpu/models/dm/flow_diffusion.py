@@ -1,0 +1,348 @@
+"""FlowDiffusion: frozen LFAE + 3D UNet + Gaussian diffusion.
+
+Mirrors /root/reference/model/BaseDM_adaptor/VideoFlowDiffusion_multi_w_ref_u22.py
+(and the multi / multi1248 / w_ref variant wrappers via config) with a
+TPU-first restructuring:
+
+- The reference's per-frame Python loop over the LFAE (:265-295) becomes a
+  single batched pass: all frames fold into the batch dim, so the region
+  predictor / bg predictor / flow predictor run as one large NHWC conv
+  stack on the MXU.
+- The reference's 2-GPU manual placement (:176,213,225, .to() hops) is
+  gone: everything is one jitted graph; parallelism comes from the mesh.
+- Stage-1 runs under stop_gradient (the reference freezes + eval()s LFAE);
+  BatchNorm uses running averages exactly like `.eval()`.
+- The expensive pixel decode used only for the monitoring rec losses
+  (:348-398, no grad path) is optional (`with_rec_losses`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from extdm_tpu.models.dm.diffusion import DiffusionSchedule, GaussianDiffusion
+from extdm_tpu.models.dm.unet3d import Unet3D
+from extdm_tpu.models.lfae.bg_predictor import BGMotionPredictor
+from extdm_tpu.models.lfae.generator import Generator
+from extdm_tpu.models.lfae.region_predictor import RegionPredictor
+
+Array = jnp.ndarray
+
+
+def _merge_bt(x: Array) -> Array:
+    """(B, T, ...) -> (B*T, ...)."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def _split_bt(x: Array, b: int) -> Array:
+    return x.reshape((b, x.shape[0] // b) + x.shape[1:])
+
+
+class LFAE(nn.Module):
+    """Frozen stage-1 bundle used inside the DM (region + bg + generator)."""
+
+    flow_params: dict
+    dtype: Any = None
+
+    def setup(self):
+        fp = self.flow_params
+        rp_params = {k: v for k, v in fp["region_predictor_params"].items()
+                     if k != "fast_svd"}  # closed-form eigh is always "fast"
+        self.region_predictor = RegionPredictor(
+            num_regions=fp["num_regions"],
+            estimate_affine=fp.get("estimate_affine", True),
+            train=False,
+            dtype=self.dtype,
+            **rp_params,
+        )
+        self.bg_predictor = BGMotionPredictor(
+            train=False, dtype=self.dtype, **fp["bg_predictor_params"]
+        )
+        self.generator = Generator(
+            num_regions=fp["num_regions"],
+            num_channels=fp["num_channels"],
+            revert_axis_swap=fp.get("revert_axis_swap", True),
+            train=False,
+            dtype=self.dtype,
+            **fp["generator_params"],
+        )
+
+    def encode_video(self, video: Array, cond_frames: int, with_decode: bool = False) -> Dict[str, Array]:
+        """video: (B, T, H, W, C) in [0,1]. Batched pseudo-GT encode.
+
+        Returns flow (B,T,h,w,2), conf (B,T,h,w,1), ref features
+        (B, T, hf, wf, 256) laid out as the reference does (:297-304):
+        per-frame bottle features for cond frames 0..tc-2, then the ref
+        frame's bottleneck repeated for the remaining 1+tp frames.
+        """
+        B, T = video.shape[:2]
+        tc = cond_frames
+        ref_img = video[:, tc - 1]
+
+        source_params = self.region_predictor(ref_img)
+        # fold frames into batch for the driving params
+        frames = _merge_bt(video)
+        driving_params = self.region_predictor(frames)
+        ref_rep = jnp.repeat(ref_img, T, axis=0)  # (B*T, H, W, C) — frame-major per sample
+
+        # NOTE: repeat must match _merge_bt layout: sample-major. jnp.repeat
+        # on axis 0 with T repeats each sample T times -> [b0 x T, b1 x T...],
+        # matching video.reshape(B*T) ordering. ✓
+        bg_params = self.bg_predictor(ref_rep, frames)
+
+        src_broadcast = {
+            k: jnp.repeat(v, T, axis=0) for k, v in source_params.items() if k != "heatmap"
+        }
+        if with_decode:
+            gen = self.generator(ref_rep, driving_params, src_broadcast, bg_params)
+        else:
+            gen = self.generator(ref_rep, driving_params, src_broadcast, bg_params,
+                                 mode="encode_flow")
+        flow = _split_bt(gen["optical_flow"], B)  # (B, T, h, w, 2)
+        conf = _split_bt(gen["occlusion_map"], B) if "occlusion_map" in gen else None
+
+        out = {"flow": flow, "conf": conf,
+               "source_region_params": source_params}
+        if with_decode:
+            out["out_vid"] = _split_bt(gen["prediction"], B)
+            out["warped_vid"] = _split_bt(gen["deformed"], B)
+        return out
+
+    def ref_features(self, video: Array, cond_frames: int, pred_frames: int) -> Array:
+        """(B, tc+tp, hf, wf, 256) conditioning features (ref :297-304)."""
+        B = video.shape[0]
+        tc, tp = cond_frames, pred_frames
+        cond_imgs = _merge_bt(video[:, :tc])  # includes the ref frame at tc-1
+        feats = self.generator(cond_imgs, mode="bottle")["bottle_neck_feat"]
+        feats = _split_bt(feats, B)  # (B, tc, hf, wf, 256)
+        ref_feat = feats[:, tc - 1 : tc]
+        return jnp.concatenate(
+            [feats[:, : tc - 1], jnp.repeat(ref_feat, 1 + tp, axis=1)], axis=1
+        )
+
+    def decode_flows(self, ref_img: Array, flow: Array, conf: Optional[Array]) -> Dict[str, Array]:
+        """Decode (B, T, h, w, 2) flows + (B, T, h, w, 1) conf to pixels with
+        the frozen generator (`forward_with_flow`, ref :152-206)."""
+        B, T = flow.shape[:2]
+        ref_rep = jnp.repeat(ref_img, T, axis=0)
+        gen = self.generator(
+            ref_rep,
+            mode="flow",
+            optical_flow=_merge_bt(flow),
+            occlusion_map=_merge_bt(conf) if conf is not None else None,
+        )
+        return {
+            "out_vid": _split_bt(gen["prediction"], B),
+            "warped_vid": _split_bt(gen["deformed"], B),
+        }
+
+    def __call__(self, video, cond_frames):
+        # init trace: with_decode=True touches every generator submodule
+        # (encoder, flow predictor, bottleneck, decoder, final) so all
+        # parameters exist regardless of which method is applied later.
+        return self.encode_video(video, cond_frames, with_decode=True)
+
+
+@dataclass(frozen=True)
+class FlowDiffusionConfig:
+    flow_params: dict
+    cond_frames: int
+    pred_frames: int
+    frame_shape: int = 64
+    timesteps: int = 1000
+    sampling_timesteps: int = 10
+    ddim_eta: float = 1.0
+    loss_type: str = "l2"
+    use_residual_flow: bool = False
+    dim: int = 64
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 4)
+    window_size: Tuple[int, int, int] = (4, 4, 4)
+    attn_heads: int = 8
+    attn_dim_head: int = 32
+    use_ref_features: bool = True
+    conditioning: str = "adaptor"
+    down_adaptor_from_level: int = 0
+    path: int = 0  # 1 -> THW combined bias (repro's u22 addition)
+    with_rec_losses: bool = False
+    dtype: Any = None
+
+    @property
+    def bottleneck_dim(self) -> int:
+        gp = self.flow_params["generator_params"]
+        return min(
+            gp.get("max_features", 512),
+            gp.get("block_expansion", 64) * 2 ** gp.get("num_down_blocks", 2),
+        )
+
+    def make_unet(self) -> Unet3D:
+        return Unet3D(
+            cond_feature_dim=self.bottleneck_dim,
+            dim=self.dim,
+            dim_mults=tuple(self.dim_mults),
+            window_size=tuple(self.window_size),
+            attn_heads=self.attn_heads,
+            attn_dim_head=self.attn_dim_head,
+            cond_num=self.cond_frames,
+            pred_num=self.pred_frames,
+            use_ref_features=self.use_ref_features,
+            conditioning=self.conditioning,
+            down_adaptor_from_level=self.down_adaptor_from_level,
+            dtype=self.dtype,
+        )
+
+    def make_lfae(self) -> LFAE:
+        return LFAE(flow_params=self.flow_params, dtype=self.dtype)
+
+    def make_diffusion(self) -> GaussianDiffusion:
+        return GaussianDiffusion(
+            schedule=DiffusionSchedule.create(self.timesteps),
+            sampling_timesteps=self.sampling_timesteps,
+            ddim_eta=self.ddim_eta,
+            loss_type=self.loss_type,
+        )
+
+
+class FlowDiffusion:
+    """Functional composition of (frozen LFAE, UNet, diffusion process).
+
+    Holds module *definitions* only; parameters travel explicitly through
+    the jitted train/sample functions (see extdm_tpu/train/dm_trainer.py).
+    """
+
+    def __init__(self, cfg: FlowDiffusionConfig):
+        self.cfg = cfg
+        self.lfae = cfg.make_lfae()
+        self.unet = cfg.make_unet()
+        self.diffusion = cfg.make_diffusion()
+
+    # ---- initialization ------------------------------------------------------
+    def init_variables(self, key: jax.Array) -> Tuple[Any, Any]:
+        """Returns (lfae_variables, unet_variables) with toy-shaped tracing."""
+        cfg = self.cfg
+        k1, k2 = jax.random.split(key)
+        H = cfg.frame_shape
+        tc, tp = cfg.cond_frames, cfg.pred_frames
+        video = jnp.zeros((1, tc + tp, H, H, cfg.flow_params["num_channels"]))
+        lfae_vars = self.lfae.init(k1, video, tc)
+
+        scale = cfg.flow_params["generator_params"][
+            "pixelwise_flow_predictor_params"
+        ].get("scale_factor", 0.5)
+        h = int(H * scale)
+        hf = H // (2 ** cfg.flow_params["generator_params"].get("num_down_blocks", 2))
+        fdim = cfg.bottleneck_dim
+        x = jnp.zeros((1, tp, h, h, 3))
+        cond = jnp.zeros((1, tc, h, h, 3))
+        fea = jnp.zeros((1, tc + tp, hf, hf, fdim)) if cfg.use_ref_features else None
+        unet_vars = self.unet.init(k2, x, jnp.zeros((1,), jnp.int32), cond, fea,
+                                   path=cfg.path)
+        return lfae_vars, unet_vars
+
+    # ---- latent helpers ---------------------------------------------------------
+    def latents_from_encode(self, enc: Dict[str, Array]) -> Array:
+        """cat(flow, conf*2-1) channels-last (ref :339)."""
+        flow, conf = enc["flow"], enc["conf"]
+        if conf is None:
+            conf = jnp.zeros_like(flow[..., :1])
+            return jnp.concatenate([flow, conf], axis=-1)
+        return jnp.concatenate([flow, conf * 2.0 - 1.0], axis=-1)
+
+    def denoise_fn(self, unet_variables):
+        def fn(x, t, cond_frames, cond_fea):
+            return self.unet.apply(unet_variables, x, t, cond_frames, cond_fea,
+                                   path=self.cfg.path)
+        return fn
+
+    # ---- training loss ---------------------------------------------------------
+    def loss(
+        self,
+        lfae_variables,
+        unet_variables,
+        key: jax.Array,
+        video: Array,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """video: (B, tc+tp, H, W, C) in [0,1]. Returns (eps-loss, aux)."""
+        cfg = self.cfg
+        tc, tp = cfg.cond_frames, cfg.pred_frames
+
+        enc = jax.lax.stop_gradient(
+            self.lfae.apply(lfae_variables, video, tc,
+                            method=LFAE.encode_video)
+        )
+        fea = None
+        if cfg.use_ref_features:
+            fea = jax.lax.stop_gradient(
+                self.lfae.apply(lfae_variables, video, tc, tp,
+                                method=LFAE.ref_features)
+            )
+        frames = self.latents_from_encode(enc)
+        x_cond = frames[:, :tc]
+        x_pred = frames[:, tc : tc + tp]
+
+        loss, pred_x0 = self.diffusion.p_losses(
+            self.denoise_fn(unet_variables), key, x_cond, x_pred, fea
+        )
+        aux: Dict[str, Array] = {"loss": loss}
+
+        if cfg.with_rec_losses:
+            ref_img = video[:, tc - 1]
+            fake_flow = pred_x0[..., :2]
+            fake_conf = (pred_x0[..., 2:3] + 1.0) * 0.5
+            dec = jax.lax.stop_gradient(
+                self.lfae.apply(lfae_variables, ref_img, fake_flow, fake_conf,
+                                method=LFAE.decode_flows)
+            )
+            gt_pred = video[:, tc : tc + tp]
+            aux["rec_loss"] = jnp.abs(gt_pred * 10.0 - dec["out_vid"] * 10.0).mean()
+            aux["rec_warp_loss"] = jnp.abs(gt_pred * 10.0 - dec["warped_vid"] * 10.0).mean()
+        return loss, aux
+
+    # ---- sampling ---------------------------------------------------------------
+    def sample_video(
+        self,
+        lfae_variables,
+        unet_variables,
+        key: jax.Array,
+        cond_video: Array,
+        decode: bool = True,
+    ) -> Dict[str, Array]:
+        """cond_video: (B, tc, H, W, C). Returns dict with sampled latents
+        and (optionally) decoded pixels for the full tc+tp window
+        (ref sample_one_video :415-510)."""
+        cfg = self.cfg
+        tc, tp = cfg.cond_frames, cfg.pred_frames
+        assert cond_video.shape[1] == tc
+
+        enc = self.lfae.apply(lfae_variables, cond_video, tc, method=LFAE.encode_video)
+        fea = None
+        if cfg.use_ref_features:
+            fea = self.lfae.apply(lfae_variables, cond_video, tc, tp,
+                                  method=LFAE.ref_features)
+        x_cond = self.latents_from_encode(enc)
+
+        pred = self.diffusion.sample(
+            self.denoise_fn(unet_variables), key, x_cond, tp, fea
+        )
+        sample_flow = jnp.concatenate([enc["flow"], pred[..., :2]], axis=1)
+        sample_conf = None
+        if enc["conf"] is not None:
+            sample_conf = jnp.concatenate(
+                [enc["conf"], (pred[..., 2:3] + 1.0) * 0.5], axis=1
+            )
+        out = {
+            "sample_vid_grid": sample_flow,
+            "sample_vid_conf": sample_conf,
+            "real_vid_grid": enc["flow"],
+            "real_vid_conf": enc["conf"],
+        }
+        if decode:
+            ref_img = cond_video[:, tc - 1]
+            dec = self.lfae.apply(lfae_variables, ref_img, sample_flow, sample_conf,
+                                  method=LFAE.decode_flows)
+            out["sample_out_vid"] = dec["out_vid"]
+            out["sample_warped_vid"] = dec["warped_vid"]
+        return out

@@ -28,11 +28,18 @@ def eigh_2x2(covar: jnp.ndarray, eps: float = 1e-12):
     lam1 = tr_half + det_term  # larger
     lam2 = tr_half - det_term
 
-    # Eigenvector for lam1: (b, lam1 - a); degenerate when b ~ 0 — then the
-    # matrix is (nearly) diagonal and the axes are eigenvectors.
-    v1x = jnp.where(jnp.abs(b) > eps, b, jnp.where(a >= c, jnp.ones_like(b), jnp.zeros_like(b)))
-    v1y = jnp.where(jnp.abs(b) > eps, lam1 - a, jnp.where(a >= c, jnp.zeros_like(b), jnp.ones_like(b)))
-    norm = jnp.sqrt(v1x * v1x + v1y * v1y + eps)
+    # Eigenvector for lam1. Two algebraically equivalent forms exist:
+    # (b, lam1 - a) and (lam1 - c, b). Pick per-element the one whose
+    # non-b component avoids catastrophic cancellation (lam1 ~ max(a, c)).
+    use_first = a < c
+    v1x = jnp.where(use_first, b, lam1 - c)
+    v1y = jnp.where(use_first, lam1 - a, b)
+    norm_sq = v1x * v1x + v1y * v1y
+    # fully degenerate (a == c, b == 0): any direction is an eigenvector.
+    degenerate = norm_sq < eps
+    v1x = jnp.where(degenerate, jnp.ones_like(v1x), v1x)
+    v1y = jnp.where(degenerate, jnp.zeros_like(v1y), v1y)
+    norm = jnp.sqrt(jnp.where(degenerate, 1.0, norm_sq) + eps)
     v1x, v1y = v1x / norm, v1y / norm
     # Second eigenvector is the 90-degree rotation (right-handed frame).
     v2x, v2y = -v1y, v1x

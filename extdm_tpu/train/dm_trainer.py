@@ -1,0 +1,82 @@
+"""Stage-2 (diffusion) trainer: one jitted SPMD train step.
+
+Mirrors the reference loop semantics (scripts/DM/train.py:38-466): AdamW on
+the diffusion/UNet parameters only (:94-101), MultiStepLR stepped per
+iteration (:444), epsilon-loss as the only gradient source (:225-242 — the
+rec losses there are no-grad monitors). The step is a single pjit program:
+LFAE encode (frozen) -> q_sample -> UNet -> loss -> grads -> update, with
+the batch sharded over the mesh 'data' axis and (optionally) kernels over
+'model'.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from extdm_tpu.models.dm.flow_diffusion import FlowDiffusion
+from extdm_tpu.train.lr_schedule import multi_step
+
+
+@dataclass
+class DMTrainState:
+    step: jnp.ndarray
+    unet_params: Any
+    opt_state: Any
+
+
+jax.tree_util.register_pytree_node(
+    DMTrainState,
+    lambda s: ((s.step, s.unet_params, s.opt_state), None),
+    lambda _, xs: DMTrainState(*xs),
+)
+
+
+def make_optimizer(lr: float, milestones, gamma: float,
+                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+    """AdamW(lr, default betas), MultiStepLR (ref :94-101,136)."""
+    return optax.adamw(multi_step(lr, milestones, gamma), weight_decay=weight_decay)
+
+
+class DMTrainer:
+    def __init__(self, fd: FlowDiffusion, optimizer: optax.GradientTransformation):
+        self.fd = fd
+        self.tx = optimizer
+
+    def init_state(self, unet_variables) -> DMTrainState:
+        params = unet_variables["params"]
+        return DMTrainState(
+            step=jnp.zeros((), jnp.int32),
+            unet_params=params,
+            opt_state=self.tx.init(params),
+        )
+
+    def train_step(
+        self,
+        state: DMTrainState,
+        lfae_variables,
+        key: jax.Array,
+        video: jnp.ndarray,
+    ) -> Tuple[DMTrainState, Dict[str, jnp.ndarray]]:
+        """video: (B, tc+tp, H, W, C) in [0,1]. Pure function — jit/pjit me."""
+
+        def loss_fn(params):
+            loss, aux = self.fd.loss(
+                lfae_variables, {"params": params}, key, video
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.unet_params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.unet_params)
+        params = optax.apply_updates(state.unet_params, updates)
+        new_state = DMTrainState(step=state.step + 1, unet_params=params, opt_state=opt_state)
+        aux = dict(aux)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_state, aux
+
+    def jitted_train_step(self, donate: bool = True):
+        return jax.jit(self.train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,99 @@
+"""Observability: stdout tee + metric logging.
+
+Covers the reference's Logger (utils/logger.py:3-12, stdout tee to the run
+log file) and upgrades the print-based metric tracking to structured JSONL
+(one record per step) that the curve plotter and external tooling can
+consume; wandb stays optional/gated like the reference's commented wiring.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+class Logger:
+    """Tee stdout to a log file (reference semantics)."""
+
+    def __init__(self, filename: str, mode: str = "a"):
+        self.terminal = sys.stdout
+        os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+        self.log = open(filename, mode)
+
+    def write(self, message):
+        self.terminal.write(message)
+        self.log.write(message)
+
+    def flush(self):
+        self.terminal.flush()
+        self.log.flush()
+
+    def close(self):
+        self.log.close()
+
+
+class MetricLogger:
+    """Append-only JSONL metric stream with wall-clock stamps."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self._f = open(path, "a", buffering=1)
+
+    def log(self, step: int, **metrics: Any) -> None:
+        rec: Dict[str, Any] = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._f.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
+class AverageMeter:
+    """Running average (reference utils/meter.py:1-16)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class StepTimer:
+    """Host-side step timing with device-fence accuracy (SURVEY §5 tracing:
+    the reference only has timeit+AverageMeter; here block_until_ready
+    fences give true device time)."""
+
+    def __init__(self):
+        self.batch_time = AverageMeter()
+        self.data_time = AverageMeter()
+        self._last = time.perf_counter()
+
+    def mark_data(self):
+        now = time.perf_counter()
+        self.data_time.update(now - self._last)
+        return now
+
+    def mark_step(self, result=None):
+        if result is not None:
+            import jax
+
+            jax.block_until_ready(result)
+        now = time.perf_counter()
+        self.batch_time.update(now - self._last)
+        self._last = now

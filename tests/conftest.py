@@ -5,12 +5,16 @@ code paths the driver validates via `__graft_entry__.dryrun_multichip`.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the host env exports axon/TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402  (import after env is set)
+
+# The image's axon (TPU) plugin force-appends itself to jax_platforms;
+# override via config (must run before the first backend initialization).
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against torch-CPU fp32; XLA's default conv/matmul
 # precision emulates TPU bf16 passes. Pin full precision for testing.

@@ -1,0 +1,129 @@
+"""Data layer tests: HDF5 store round-trip (reference on-disk layout),
+clip/pair samplers, augmentations, loader."""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from extdm_tpu.data import (
+    AllAugmentationTransform,
+    DataLoader,
+    DatasetRepeater,
+    HDF5VideoStore,
+    TwoFramesDataset,
+    VideoDataset,
+    make_moving_shapes_dataset,
+    to_rgb_video,
+    write_video_hdf5,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapes")
+    make_moving_shapes_dataset(str(root), num_train=8, num_valid=4, num_frames=20,
+                               image_size=32, seed=0)
+    return str(root)
+
+
+class TestH5Store:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        vids = rng.randint(0, 255, size=(5, 7, 16, 16), dtype=np.uint8)
+        write_video_hdf5(vids, str(tmp_path / "h5"), num_per_shard=2)
+        store = HDF5VideoStore(str(tmp_path / "h5"))
+        assert len(store) == 5
+        assert store.video_length(3) == 7
+        np.testing.assert_array_equal(store.read_frames(3, 2, 3), vids[3, 2:5])
+
+    def test_reference_layout(self, tmp_path):
+        # layout must match the reference reader's expectations:
+        # groups len/<i> and <i>/<frame>
+        vids = np.zeros((3, 4, 8, 8), np.uint8)
+        write_video_hdf5(vids, str(tmp_path / "h5"), num_per_shard=10)
+        shard = sorted(os.listdir(tmp_path / "h5"))[0]
+        with h5py.File(tmp_path / "h5" / shard, "r") as f:
+            assert set(f["len"].keys()) == {"0", "1", "2"}
+            assert int(f["len"]["1"][()]) == 4
+            assert f["1"]["3"][()].shape == (8, 8)
+
+
+class TestVideoDataset:
+    def test_clip_shapes_and_range(self, tiny_root):
+        ds = VideoDataset(tiny_root, "train", num_frames=10, image_size=32)
+        clip, vid_idx = ds[0]
+        assert clip.shape == (10, 32, 32)
+        assert clip.min() >= 0 and clip.max() <= 1
+        video = to_rgb_video(clip)
+        assert video.shape == (10, 32, 32, 3)
+
+    def test_total_videos_remap(self, tiny_root):
+        ds = VideoDataset(tiny_root, "valid", total_videos=3, num_frames=5, image_size=32)
+        assert len(ds) == 3
+        _, idx_first = ds[0]
+        _, idx_last = ds[2]
+        assert idx_first == 0
+        assert idx_last == ds.max_index() - 1
+
+
+class TestTwoFrames:
+    def test_pair(self, tiny_root):
+        ds = TwoFramesDataset(
+            tiny_root, "train", frame_shape=32, min_frame_distance=2, max_frame_distance=10,
+            augmentation_params=dict(
+                flip_param=dict(horizontal_flip=True, time_flip=False),
+                jitter_param=dict(brightness=0.1, contrast=0.1, saturation=0.1, hue=0.1),
+            ),
+        )
+        out = ds[1]
+        assert out["source"].shape == (32, 32, 3)
+        assert out["driving"].shape == (32, 32, 3)
+        d = out["frame"][1] - out["frame"][0]
+        assert 2 <= d <= 10
+        assert 0 <= out["source"].min() and out["source"].max() <= 1
+
+    def test_repeater(self, tiny_root):
+        ds = TwoFramesDataset(tiny_root, "train", frame_shape=32)
+        rep = DatasetRepeater(ds, num_repeats=3)
+        assert len(rep) == 3 * len(ds)
+        assert rep[len(ds) + 1]["source"].shape == (32, 32, 3)
+
+
+class TestAugmentation:
+    def test_pipeline_preserves_shape(self):
+        clip = [np.random.RandomState(i).rand(16, 16, 3).astype(np.float32) for i in range(3)]
+        aug = AllAugmentationTransform(
+            flip_param=dict(horizontal_flip=True, time_flip=True),
+            jitter_param=dict(brightness=0.2, contrast=0.2, saturation=0.2, hue=0.2),
+        )
+        out = aug(clip)
+        assert len(out) == 3
+        for img in out:
+            assert img.shape == (16, 16, 3)
+            assert 0 <= img.min() and img.max() <= 1
+
+    def test_crop_and_resize(self):
+        clip = [np.random.RandomState(0).rand(20, 24, 3).astype(np.float32)] * 2
+        aug = AllAugmentationTransform(
+            resize_param=dict(ratio=(0.9, 1.1)), crop_param=dict(size=16)
+        )
+        out = aug(clip)
+        assert out[0].shape == (16, 16, 3)
+
+
+class TestLoader:
+    def test_batches(self, tiny_root):
+        ds = VideoDataset(tiny_root, "train", num_frames=8, image_size=32)
+        dl = DataLoader(ds, batch_size=4, num_workers=2, shuffle=True, seed=1)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 4
+        clips, idxs = batches[0]
+        assert clips.shape == (4, 8, 32, 32)
+        assert idxs.shape == (4,)
+
+    def test_dict_collate(self, tiny_root):
+        ds = TwoFramesDataset(tiny_root, "train", frame_shape=32)
+        dl = DataLoader(ds, batch_size=2, num_workers=0, shuffle=False)
+        batch = next(iter(dl))
+        assert batch["source"].shape == (2, 32, 32, 3)

@@ -1,0 +1,80 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh, plus the trainers
+and the driver graft entry points."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extdm_tpu.parallel import make_mesh, param_shardings, shard_batch, shard_params
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self, devices):
+        mesh = make_mesh(devices=devices)
+        assert dict(mesh.shape) == {"data": 8, "model": 1}
+        mesh = make_mesh(model=2, devices=devices)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    def test_shard_batch(self, devices):
+        mesh = make_mesh(devices=devices)
+        x = jnp.zeros((16, 3, 4))
+        xs = shard_batch(x, mesh)
+        assert xs.sharding.spec == jax.sharding.PartitionSpec("data")
+
+    def test_shard_params_rule(self, devices):
+        mesh = make_mesh(model=2, devices=devices)
+        params = {
+            "layer": {"kernel": jnp.zeros((256, 64)), "bias": jnp.zeros((64,))},
+            "tiny": {"kernel": jnp.zeros((4, 4))},
+        }
+        sharded = shard_params(params, mesh)
+        spec = sharded["layer"]["kernel"].sharding.spec
+        assert spec == jax.sharding.PartitionSpec(None, "model")
+        assert sharded["layer"]["bias"].sharding.spec == jax.sharding.PartitionSpec()
+        assert sharded["tiny"]["kernel"].sharding.spec == jax.sharding.PartitionSpec()
+
+    def test_global_batchnorm_is_syncbn(self, devices):
+        """BN statistics under pjit are global-batch — the SyncBN property."""
+        import flax.linen as nn
+
+        mesh = make_mesh(devices=devices)
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.BatchNorm(use_running_average=False, momentum=0.9)(x)
+
+        m = M()
+        # per-device batches have different statistics
+        x = np.concatenate([np.full((2, 4), i, np.float32) for i in range(8)])
+        variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        xs = shard_batch(jnp.asarray(x), mesh)
+
+        @jax.jit
+        def fwd(v, x):
+            y, mut = m.apply(v, x, mutable=["batch_stats"])
+            return mut["batch_stats"]["BatchNorm_0"]["mean"]
+
+        with mesh:
+            mean = fwd(variables, xs)
+        expected = 0.9 * 0.0 + 0.1 * x.mean()  # momentum update toward global mean
+        np.testing.assert_allclose(np.asarray(mean), np.full(4, expected), rtol=1e-5)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        loss = jax.jit(fn)(*args)
+        assert np.isfinite(float(loss))
+
+    def test_dryrun_multichip(self):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
