@@ -1,0 +1,99 @@
+"""Headline benchmark: DDIM sampling throughput (frames/sec/chip).
+
+Runs the flagship KTH-shaped config (64px, tc=10, tp=20, dim 64,
+dim_mults (1,2,4,4), DDIM-10, MotionAdaptor conditioning) end-to-end:
+LFAE cond encode -> DDIM scan -> LFAE pixel decode, all in one jitted
+program, and reports sampled frames/sec/chip.
+
+Baseline: a PyTorch A100 estimate for the same pipeline. The reference
+stores no throughput number (SURVEY §6); the documented estimate below is
+derived from the reference's per-frame generator decode loop + 10 UNet
+passes at batch 4 (~2.5 s/batch => ~32 frames/s). vs_baseline is the
+speedup ratio against that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# PyTorch-baseline estimate (frames/sec on one A100-class GPU); see module docstring.
+BASELINE_FRAMES_PER_SEC = 32.0
+
+KTH_FLOW_PARAMS = dict(
+    num_regions=10,
+    num_channels=3,
+    estimate_affine=True,
+    revert_axis_swap=True,
+    bg_predictor_params=dict(block_expansion=32, max_features=1024, num_blocks=5,
+                             bg_type="affine"),
+    region_predictor_params=dict(temperature=0.1, block_expansion=32, max_features=1024,
+                                 scale_factor=0.5, num_blocks=5, pca_based=True, pad=0),
+    generator_params=dict(block_expansion=64, max_features=512, num_down_blocks=2,
+                          num_bottleneck_blocks=6, skips=True,
+                          pixelwise_flow_predictor_params=dict(
+                              block_expansion=64, max_features=1024, num_blocks=5,
+                              scale_factor=0.5, use_deformed_source=True,
+                              use_covar_heatmap=True, estimate_occlusion_map=True)),
+)
+
+
+def main():
+    from extdm_tpu.models.dm import FlowDiffusion, FlowDiffusionConfig
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    cfg = FlowDiffusionConfig(
+        flow_params=KTH_FLOW_PARAMS,
+        cond_frames=10,
+        pred_frames=20,
+        frame_shape=64,
+        timesteps=1000,
+        sampling_timesteps=10,
+        dim=64,
+        dim_mults=(1, 2, 4, 4),
+        attn_heads=8,
+        attn_dim_head=32,
+        dtype=jnp.bfloat16,
+    )
+    fd = FlowDiffusion(cfg)
+    lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+
+    cond = jnp.asarray(
+        np.random.RandomState(0).rand(batch, cfg.cond_frames, 64, 64, 3), jnp.float32
+    )
+
+    sample_fn = jax.jit(lambda k, c: fd.sample_video(lfae_vars, unet_vars, k, c))
+
+    # warmup / compile
+    out = sample_fn(jax.random.PRNGKey(1), cond)
+    jax.block_until_ready(out["sample_out_vid"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = sample_fn(jax.random.fold_in(jax.random.PRNGKey(2), i), cond)
+    jax.block_until_ready(out["sample_out_vid"])
+    elapsed = time.perf_counter() - t0
+
+    frames = batch * cfg.pred_frames * iters
+    fps = frames / elapsed
+    print(json.dumps({
+        "metric": "kth_ddim10_sampling_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,9 +44,7 @@ def dm_config_from_yaml(cfg: Dict[str, Any], arch: str = "w_ref_u22/ada_u22",
     dp = cfg["dataset_params"]
     flow = cfg["flow_params"]["model_params"]
     diff = cfg["diffusion_params"]["model_params"]
-    preset = dict(ARCH_PRESETS[arch])
-    preset.update(overrides)
-    return FlowDiffusionConfig(
+    kwargs = dict(
         flow_params=flow,
         cond_frames=dp["train_params"]["cond_frames"],
         pred_frames=dp["train_params"]["pred_frames"],
@@ -54,8 +52,10 @@ def dm_config_from_yaml(cfg: Dict[str, Any], arch: str = "w_ref_u22/ada_u22",
         sampling_timesteps=diff.get("sampling_timesteps", 10),
         loss_type=diff.get("loss_type", "l2"),
         use_residual_flow=diff.get("use_residual_flow", False),
-        **preset,
     )
+    kwargs.update(ARCH_PRESETS[arch])
+    kwargs.update(overrides)  # explicit overrides win over yaml + preset
+    return FlowDiffusionConfig(**kwargs)
 
 
 def ae_model_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:

@@ -52,7 +52,7 @@ class I3DExtractor:
         self.pretrained = params is not None
         if params is None:
             dummy = jnp.zeros((1, 16, 224, 224, 3))
-            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), dummy)
         self.params = params
         self._fwd = jax.jit(lambda p, x: self.model.apply(p, x))
 

@@ -91,7 +91,7 @@ class LPIPSMetric:
         self.pretrained = params is not None
         if params is None:
             dummy = jnp.zeros((1, 64, 64, 3))
-            params = self.model.init(jax.random.PRNGKey(seed), dummy, dummy)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), dummy, dummy)
         self.params = params
         self._fwd = jax.jit(lambda p, a, b: self.model.apply(p, a, b))
 

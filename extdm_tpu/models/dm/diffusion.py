@@ -244,3 +244,23 @@ class GaussianDiffusion:
         if self.sampling_timesteps < self.schedule.num_timesteps:
             return self.ddim_sample(denoise_fn, key, x_cond, pred_frames, cond_fea)
         return self.p_sample_loop(denoise_fn, key, x_cond, pred_frames, cond_fea)
+
+
+def guided_denoise_fn(denoise_fn: DenoiseFn, cond_scale: float = 1.0) -> DenoiseFn:
+    """Classifier-free guidance wrapper (reference forward_with_cond_scale,
+    DenoiseNet_..._ada_u22.py:1160-1170): eps = eps_null + scale*(eps - eps_null).
+    The underlying denoise_fn must accept null_cond_mask."""
+    if cond_scale == 1.0:
+        return denoise_fn
+
+    def fn(x, t, cond_frames, cond_fea, **kw):
+        b = x.shape[0]
+        full = denoise_fn(x, t, cond_frames, cond_fea,
+                          null_cond_mask=jnp.zeros((b,), bool), **kw)
+        null = denoise_fn(x, t, cond_frames, cond_fea,
+                          null_cond_mask=jnp.ones((b,), bool), **kw)
+        if cond_scale == 0.0:
+            return null
+        return null + (full - null) * cond_scale
+
+    return fn

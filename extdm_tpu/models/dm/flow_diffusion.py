@@ -227,7 +227,7 @@ class FlowDiffusion:
         H = cfg.frame_shape
         tc, tp = cfg.cond_frames, cfg.pred_frames
         video = jnp.zeros((1, tc + tp, H, H, cfg.flow_params["num_channels"]))
-        lfae_vars = self.lfae.init(k1, video, tc)
+        lfae_vars = jax.jit(self.lfae.init, static_argnums=(2,))(k1, video, tc)
 
         scale = cfg.flow_params["generator_params"][
             "pixelwise_flow_predictor_params"
@@ -238,8 +238,9 @@ class FlowDiffusion:
         x = jnp.zeros((1, tp, h, h, 3))
         cond = jnp.zeros((1, tc, h, h, 3))
         fea = jnp.zeros((1, tc + tp, hf, hf, fdim)) if cfg.use_ref_features else None
-        unet_vars = self.unet.init(k2, x, jnp.zeros((1,), jnp.int32), cond, fea,
-                                   path=cfg.path)
+        unet_vars = jax.jit(
+            lambda k, x, t, c, f: self.unet.init(k, x, t, c, f, path=cfg.path)
+        )(k2, x, jnp.zeros((1,), jnp.int32), cond, fea)
         return lfae_vars, unet_vars
 
     # ---- latent helpers ---------------------------------------------------------

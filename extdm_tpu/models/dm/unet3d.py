@@ -176,10 +176,13 @@ class Unet3D(nn.Module):
     use_ref_features: bool = True
     conditioning: str = "adaptor"  # adaptor | trajwarp | none
     down_adaptor_from_level: int = 0  # ada: 0 (all levels); traj: 2
+    cond_dim: Optional[int] = None  # text/class embedding dim (BERT: 768)
+    learn_null_cond: bool = False
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x, time, cond_frames, cond_fea=None, path: int = 0):
+    def __call__(self, x, time, cond_frames, cond_fea=None, path: int = 0,
+                 cond=None, null_cond_mask=None):
         """x: (B, tp, h, w, C) noisy pred latents; cond_frames: (B, tc, h, w, C);
         cond_fea: (B, tc+tp, hf, wf, cond_feature_dim) LFAE features.
         Returns (B, tp, h, w, out_grid_dim + out_conf_dim)."""
@@ -255,6 +258,21 @@ class Unet3D(nn.Module):
         t_emb = nn.gelu(t_emb)
         t_emb = nn.Dense(time_dim, kernel_init=torch_kernel_init,
                          bias_init=torch_bias_init(time_dim), name="time_mlp_1")(t_emb)
+
+        # classifier-free guidance plumbing (ref :1254-1264): optional text/
+        # class embedding concatenated to the time embedding; null_cond_mask
+        # replaces per-sample conditions with the null embedding.
+        if self.cond_dim is not None:
+            if self.learn_null_cond:
+                null_emb = self.param("null_cond_emb", nn.initializers.normal(1.0),
+                                      (1, self.cond_dim))
+            else:
+                null_emb = jnp.zeros((1, self.cond_dim), t_emb.dtype)
+            if cond is None:
+                cond = jnp.broadcast_to(null_emb, (B, self.cond_dim))
+            if null_cond_mask is not None:
+                cond = jnp.where(null_cond_mask[:, None], null_emb, cond)
+            t_emb = jnp.concatenate([t_emb, cond.astype(t_emb.dtype)], axis=-1)
 
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))

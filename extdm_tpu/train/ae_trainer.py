@@ -8,18 +8,18 @@ module placement disappears into the mesh.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 
 from extdm_tpu.models.lfae.recon_model import ReconstructionModel
 from extdm_tpu.train.lr_schedule import multi_step
 
 
-@dataclass
+@struct.dataclass
 class AETrainState:
     step: jnp.ndarray
     params: Any
@@ -28,11 +28,6 @@ class AETrainState:
     opt_state: Any
 
 
-jax.tree_util.register_pytree_node(
-    AETrainState,
-    lambda s: ((s.step, s.params, s.batch_stats, s.loss_weights, s.opt_state), None),
-    lambda _, xs: AETrainState(*xs),
-)
 
 
 def make_optimizer(lr: float, milestones, gamma: float) -> optax.GradientTransformation:

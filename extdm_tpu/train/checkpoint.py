@@ -24,6 +24,9 @@ from flax import serialization
 
 
 def _to_host(tree: Any) -> Any:
+    # to_state_dict turns registered pytree nodes (train states, FrozenDicts)
+    # into plain dicts that msgpack can serialize.
+    tree = serialization.to_state_dict(tree)
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

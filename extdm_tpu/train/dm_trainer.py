@@ -11,29 +11,24 @@ the batch sharded over the mesh 'data' axis and (optionally) kernels over
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 
 from extdm_tpu.models.dm.flow_diffusion import FlowDiffusion
 from extdm_tpu.train.lr_schedule import multi_step
 
 
-@dataclass
+@struct.dataclass
 class DMTrainState:
     step: jnp.ndarray
     unet_params: Any
     opt_state: Any
 
 
-jax.tree_util.register_pytree_node(
-    DMTrainState,
-    lambda s: ((s.step, s.unet_params, s.opt_state), None),
-    lambda _, xs: DMTrainState(*xs),
-)
 
 
 def make_optimizer(lr: float, milestones, gamma: float,

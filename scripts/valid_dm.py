@@ -1,0 +1,174 @@
+"""Stage-2 standalone evaluation CLI.
+
+Mirrors scripts/DM/valid.py: multi-trajectory sampling (num_sample_video),
+autoregressive chunked rollout (NUM_AUTOREG), FVD per trajectory +
+best-trajectory selection by I3D-feature L1 distance, best-of-n
+psnr2/ssim2/lpips2, 95% CI, metrics.txt + artifact dumps.
+
+TPU-first: trajectories ride the batch axis of one compiled sampler
+(vs the reference's python repeat loop); the autoregressive rollout reuses
+the same compiled program each round.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def metric_stuff(values: np.ndarray):
+    """mean, std, conf95 (ref scripts/DM/valid.py:24-27)."""
+    from scipy import stats
+
+    mean, std = float(np.mean(values)), float(np.std(values))
+    conf = std * float(stats.t.ppf((1 + 0.95) / 2.0, len(values) - 1)) / math.sqrt(
+        max(len(values), 2)
+    )
+    return mean, std, conf
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--flowae_checkpoint", default="")
+    p.add_argument("--arch", default="w_ref_u22/ada_u22")
+    p.add_argument("--root_dir", default=None)
+    p.add_argument("--log_dir", default="logs/dm_valid")
+    p.add_argument("--num_sample_video", type=int, default=4)
+    p.add_argument("--total_videos", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--i3d_params", default="", help="converted I3D weights (msgpack)")
+    args = p.parse_args()
+
+    from extdm_tpu.config import dm_config_from_yaml, load_config
+    from extdm_tpu.data import DataLoader, VideoDataset, to_rgb_video
+    from extdm_tpu.metrics import (
+        I3DExtractor,
+        LPIPSMetric,
+        best_trajectory_by_feature_distance,
+        calculate_fvd2,
+        calculate_psnr2,
+        calculate_ssim2,
+    )
+    from extdm_tpu.models.dm import FlowDiffusion
+    from extdm_tpu.train import load_checkpoint, restore_like
+    from extdm_tpu.utils import setup_seed
+    from scripts.train_dm import load_lfae_variables
+
+    cfg_raw = load_config(args.config)
+    if args.root_dir:
+        cfg_raw["dataset_params"]["root_dir"] = args.root_dir
+    dp = cfg_raw["dataset_params"]
+    vp = dp["valid_params"]
+    tc = vp["cond_frames"]
+    total_pred = vp["pred_frames"]
+    root_key = setup_seed(args.seed)
+    os.makedirs(args.log_dir, exist_ok=True)
+
+    fd_cfg = dm_config_from_yaml(cfg_raw, arch=args.arch)
+    fd = FlowDiffusion(fd_cfg)
+    lfae_vars, unet_vars = load_lfae_variables(fd, args.flowae_checkpoint, root_key)
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint)
+        unet_vars = {"params": restore_like(unet_vars["params"], ckpt["state"]["unet_params"])}
+        print(f"loaded diffusion from {args.checkpoint}")
+
+    num_autoreg = math.ceil(total_pred / fd_cfg.pred_frames)
+    print(f"autoregressive rounds: {num_autoreg} x {fd_cfg.pred_frames} frames")
+
+    total_videos = args.total_videos or vp.get("total_videos", 256)
+    dataset = VideoDataset(dp["root_dir"], type=vp["type"], total_videos=total_videos,
+                           num_frames=tc + total_pred, image_size=dp["frame_shape"],
+                           random_time=False, seed=args.seed)
+    loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=8,
+                        drop_last=False, seed=args.seed)
+
+    sample_fn = jax.jit(lambda k, c: fd.sample_video(lfae_vars, unet_vars, k, c))
+
+    n_traj = args.num_sample_video
+    real_all, sample_all = [], []
+    for clips, _ in loader:
+        video = np.stack([to_rgb_video(c) for c in clips])  # (B, T, H, W, 3)
+        B = video.shape[0]
+        # trajectories ride the batch axis
+        video_rep = np.repeat(video, n_traj, axis=0)
+        cond = video_rep[:, :tc]
+        preds = []
+        for r in range(num_autoreg):
+            key = jax.random.fold_in(root_key, len(real_all) * 1000 + r)
+            out = sample_fn(key, jnp.asarray(cond))
+            pred_pixels = np.asarray(out["sample_out_vid"][:, tc:])
+            preds.append(pred_pixels)
+            cond = pred_pixels[:, -tc:] if pred_pixels.shape[1] >= tc else np.concatenate(
+                [np.asarray(cond)[:, pred_pixels.shape[1]:], pred_pixels], axis=1
+            )
+        pred_full = np.concatenate(preds, axis=1)[:, :total_pred]
+        sample_vid = np.concatenate([video_rep[:, :tc], pred_full], axis=1)
+        real_all.append(video)
+        sample_all.append(sample_vid)
+
+    real = np.concatenate(real_all)  # (N, tc+tp, H, W, 3)
+    samples = np.concatenate(sample_all)  # (N*n_traj, tc+tp, H, W, 3)
+    N = real.shape[0]
+    print(f"evaluated {N} videos x {n_traj} trajectories")
+
+    # --- metrics (reference protocol) -------------------------------------------
+    i3d_params = None
+    if args.i3d_params and os.path.exists(args.i3d_params):
+        from extdm_tpu.train import load_checkpoint as _lc
+
+        i3d_params = _lc(args.i3d_params)
+    extractor = I3DExtractor(params=i3d_params)
+    real_feats = extractor.get_feats(real)
+    traj_feats = extractor.get_feats(samples)
+    fvd_traj = [
+        calculate_fvd2(traj_feats[i::n_traj], real_feats) for i in range(n_traj)
+    ]
+    best_idx = best_trajectory_by_feature_distance(real_feats, traj_feats, n_traj)
+    best = samples.reshape(N, n_traj, *samples.shape[1:])[np.arange(N), best_idx]
+    fvd_best = calculate_fvd2(
+        traj_feats.reshape(N, n_traj, -1)[np.arange(N), best_idx], real_feats
+    )
+
+    def tchw(v):  # metrics expect (B, T, C, H, W)
+        return v.transpose(0, 1, 4, 2, 3)
+
+    real_rep = np.repeat(real, n_traj, axis=0)
+    psnr2 = calculate_psnr2(tchw(samples), tchw(real_rep), n_traj)
+    ssim2 = calculate_ssim2(tchw(samples), tchw(real_rep), n_traj)
+    lpips_m = LPIPSMetric()
+    lpips2 = lpips_m.calculate_lpips2(samples, real_rep, n_traj)
+
+    fvd_mean, fvd_std, fvd_conf = metric_stuff(np.asarray(fvd_traj))
+    lines = [
+        f"fvd_traj mean/std/conf95: {fvd_mean:.3f} / {fvd_std:.3f} / {fvd_conf:.3f}",
+        f"fvd_best: {fvd_best:.3f}",
+        f"psnr2 (best-of-{n_traj}): {psnr2:.3f}",
+        f"ssim2 (best-of-{n_traj}): {ssim2:.4f}",
+        f"lpips2 (best-of-{n_traj}): {lpips2:.4f}",
+        f"i3d_pretrained: {extractor.pretrained}",
+        f"lpips_pretrained: {lpips_m.pretrained}",
+    ]
+    print("\n".join(lines))
+    with open(os.path.join(args.log_dir, "metrics.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # artifact dump: comparison gif of the first video's best trajectory
+    from extdm_tpu.utils.visualize import visualize_comparison_gif
+
+    visualize_comparison_gif(
+        os.path.join(args.log_dir, "sample0.gif"), real[0], best[0], tc
+    )
+
+
+if __name__ == "__main__":
+    main()

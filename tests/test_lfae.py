@@ -148,7 +148,9 @@ class TestGenerator:
         variables = model.init(rngs, src, rp, rp, jnp.tile(jnp.eye(3), (1, 1, 1)))
         from extdm_tpu.ops.coords import make_coordinate_grid
 
-        flow = jnp.broadcast_to(make_coordinate_grid(32, 32)[None], (1, 32, 32, 2))
+        # full-res identity flow: avoids the (correct, reference-matching)
+        # half-pixel boundary effect of resizing a 32x32 grid to 64x64.
+        flow = jnp.broadcast_to(make_coordinate_grid(64, 64)[None], (1, 64, 64, 2))
         occ = jnp.ones((1, 32, 32, 1))
         out, _ = model.apply(
             variables, src, mode="flow", optical_flow=flow, occlusion_map=occ,
