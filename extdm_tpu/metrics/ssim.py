@@ -59,6 +59,16 @@ def _per_frame_ssim(videos1, videos2) -> np.ndarray:
     v1, v2 = np.asarray(videos1), np.asarray(videos2)
     assert v1.shape == v2.shape
     B, T = v1.shape[:2]
+    # fast path: the native C++ kernel (extdm_tpu/native/ssim.cpp)
+    if v1.ndim == 5:
+        try:
+            from extdm_tpu import native
+
+            flat1 = v1.reshape((B * T,) + v1.shape[2:]).astype(np.float32)
+            flat2 = v2.reshape((B * T,) + v2.shape[2:]).astype(np.float32)
+            return native.ssim_batch(flat1, flat2).reshape(B, T)
+        except Exception:  # native build unavailable -> scipy fallback
+            pass
     out = np.zeros((B, T))
     for b in range(B):
         for t in range(T):
