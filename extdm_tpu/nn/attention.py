@@ -309,17 +309,28 @@ class WindowAttention3D(nn.Module):
             q = apply_rotary(q, rot)
             k = apply_rotary(k, rot)
 
-        attn = jnp.einsum("bhid,bhjd->bhij", q, k)
         rel_idx = jnp.asarray(_relative_position_index(self.table_window)[:N, :N])
         bias = jnp.take(table, rel_idx.reshape(-1), axis=0).reshape(N, N, self.heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        bias_hnn = jnp.transpose(bias, (2, 0, 1))  # (H, N, N)
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(Bn // nW, nW, self.heads, N, N) + mask[None, :, None]
-            attn = attn.reshape(Bn, self.heads, N, N)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        from extdm_tpu.ops import pallas_attn
+
+        if pallas_attn.enabled():
+            # fused scores+bias+mask+softmax+AV in VMEM (one program per
+            # window x head); q is pre-scaled and rotary-rotated above.
+            out = pallas_attn.fused_window_attention(
+                q, k, v, bias_hnn.astype(q.dtype),
+                None if mask is None else mask.astype(q.dtype),
+            )
+        else:
+            attn = jnp.einsum("bhid,bhjd->bhij", q, k)
+            attn = attn + bias_hnn[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(Bn // nW, nW, self.heads, N, N) + mask[None, :, None]
+                attn = attn.reshape(Bn, self.heads, N, N)
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, hidden)
         return Dense_(C, dtype=self.dtype, name="proj")(out)
 

@@ -50,6 +50,51 @@ def load_lfae_variables(fd, path: str, key):
     return lfae_vars, unet_vars
 
 
+def run_validation(fd, lfae_vars, unet_params, cfg_raw, key, num_videos=16,
+                   batch_size=4, extractor=None, lpips_metric=None, seed=1234):
+    """Periodic valid (ref scripts/DM/train.py:469-573): sample on held-out
+    videos, FVD + PSNR/SSIM/LPIPS. Returns a metrics dict."""
+    import jax as _jax
+
+    from extdm_tpu.data import DataLoader, VideoDataset, to_rgb_video
+    from extdm_tpu.metrics import (
+        I3DExtractor, LPIPSMetric, calculate_fvd2, calculate_psnr1, calculate_ssim1,
+    )
+
+    dp = cfg_raw["dataset_params"]
+    vp = dp["valid_params"]
+    tc = fd.cfg.cond_frames
+    nf = tc + fd.cfg.pred_frames
+    ds = VideoDataset(dp["root_dir"], type=vp["type"], total_videos=num_videos,
+                      num_frames=nf, image_size=dp["frame_shape"],
+                      random_time=False, seed=seed)
+    loader = DataLoader(ds, batch_size, shuffle=False, num_workers=4,
+                        drop_last=False, seed=seed)
+    sample_fn = _jax.jit(
+        lambda k, c: fd.sample_video(lfae_vars, {"params": unet_params}, k, c)
+    )
+    reals, fakes = [], []
+    for i, (clips, _) in enumerate(loader):
+        video = np.stack([to_rgb_video(c) for c in clips])
+        out = sample_fn(_jax.random.fold_in(key, i), jnp.asarray(video[:, :tc]))
+        reals.append(video)
+        fakes.append(np.asarray(out["sample_out_vid"]))
+    real = np.concatenate(reals)
+    fake = np.concatenate(fakes)
+
+    def tchw(v):
+        return v.transpose(0, 1, 4, 2, 3)
+
+    psnr, _ = calculate_psnr1(tchw(fake), tchw(real))
+    ssim, _ = calculate_ssim1(tchw(fake), tchw(real))
+    extractor = extractor or I3DExtractor()
+    fvd = calculate_fvd2(extractor.get_feats(fake), extractor.get_feats(real))
+    lpips_metric = lpips_metric or LPIPSMetric()
+    lp, _ = lpips_metric.calculate_lpips1(fake, real)
+    return {"valid_fvd": fvd, "valid_psnr": float(psnr["psnr"]),
+            "valid_ssim": float(ssim["ssim"]), "valid_lpips": float(lp["lpips"])}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
@@ -64,6 +109,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--path", type=int, default=0, help="1 -> THW bias variant")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--valid_every", type=int, default=0,
+                   help="run validation every N steps (0 = off)")
+    p.add_argument("--valid_videos", type=int, default=16)
     args = p.parse_args()
 
     from extdm_tpu.config import dm_config_from_yaml, load_config
@@ -119,6 +167,7 @@ def main():
     step_fn = trainer.jitted_train_step()
     timer = StepTimer()
     step = start_step
+    best_fvd = float("inf")
     max_steps = args.max_steps or tp["max_epochs"]
     print_freq = tp.get("print_freq", 1000)
     save_freq = tp.get("update_ckpt_freq", 5000)
@@ -144,6 +193,19 @@ def main():
                         os.path.join(args.log_dir, "flowdiff.ckpt"),
                         {"example": step * batch_size, "step": step, "state": state},
                     )
+                if args.valid_every and step > 0 and step % args.valid_every == 0:
+                    vm = run_validation(fd, lfae_vars, state.unet_params, cfg_raw,
+                                        jax.random.fold_in(root_key, 999),
+                                        num_videos=args.valid_videos)
+                    metrics_log.log(step, **vm)
+                    print(f"valid @ {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vm.items()))
+                    if vm["valid_fvd"] < best_fvd:
+                        best_fvd = vm["valid_fvd"]
+                        from extdm_tpu.train import gate_best
+                        ck = os.path.join(args.log_dir, "flowdiff.ckpt")
+                        save_checkpoint(ck, {"example": step * batch_size,
+                                             "step": step, "state": state})
+                        gate_best(ck, args.log_dir, best_fvd, "flowdiff")
                 step += 1
 
     save_checkpoint(os.path.join(args.log_dir, "flowdiff.ckpt"),
