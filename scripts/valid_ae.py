@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+
+from extdm_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 

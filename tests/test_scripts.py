@@ -1,0 +1,103 @@
+"""CLI smoke tests: run the actual scripts end-to-end on the synthetic
+dataset (tiny shapes, CPU), chaining AE train -> DM train -> DM valid."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    EXTDM_PALLAS="0",
+    EXTDM_JAX_CACHE="/tmp/extdm_jax_cache_tests",
+)
+
+
+def run(args, **kw):
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=ENV,
+                          capture_output=True, text=True, timeout=1200, **kw)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data = str(root / "data")
+    r = run(["scripts/make_dataset.py", "shapes", "--out", data,
+             "--num_train", "6", "--num_valid", "4", "--num_frames", "10",
+             "--image_size", "32"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # tiny config derived from the shapes config
+    cfg = yaml.safe_load(open(os.path.join(REPO, "configs/DM/shapes.yaml")))
+    cfg["dataset_params"]["root_dir"] = data
+    cfg["dataset_params"]["frame_shape"] = 32
+    cfg["dataset_params"]["train_params"].update(cond_frames=2, pred_frames=2)
+    cfg["dataset_params"]["valid_params"].update(cond_frames=2, pred_frames=2, type="valid",
+                                                 total_videos=4)
+    fp = cfg["flow_params"]["model_params"]
+    fp["num_regions"] = 3
+    fp["region_predictor_params"].update(block_expansion=8, max_features=16, num_blocks=2)
+    fp["bg_predictor_params"].update(block_expansion=8, max_features=16, num_blocks=2)
+    fp["generator_params"].update(block_expansion=8, max_features=32, num_bottleneck_blocks=1)
+    fp["generator_params"]["pixelwise_flow_predictor_params"].update(
+        block_expansion=8, max_features=16, num_blocks=2)
+    cfg["flow_params"]["train_params"] = dict(
+        max_epochs=1, num_repeats=1, lr=2.0e-4, batch_size=2, valid_batch_size=2,
+        dataloader_workers=0, print_freq=1, update_ckpt_freq=100, save_ckpt_freq=100,
+        save_img_freq=100,
+        scheduler_param=dict(milestones=[100], gamma=0.5),
+        scales=[1, 0.5],
+        transform_params=dict(sigma_affine=0.05, sigma_tps=0.005, points_tps=5),
+        loss_weights=dict(perceptual=[1, 1, 1, 1, 1], equivariance_shift=10,
+                          equivariance_affine=10, reconstruction=10),
+    )
+    cfg["diffusion_params"]["model_params"]["sampling_timesteps"] = 2
+    cfg["diffusion_params"]["train_params"].update(batch_size=2, dataloader_workers=0,
+                                                   print_freq=1)
+    cfg_path = str(root / "tiny.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    return {"root": str(root), "data": data, "cfg": cfg_path}
+
+
+@pytest.mark.slow
+def test_cli_pipeline(tiny_setup):
+    root, cfg = tiny_setup["root"], tiny_setup["cfg"]
+    ae_dir = os.path.join(root, "ae")
+    r = run(["scripts/train_ae.py", "--config", cfg, "--log_dir", ae_dir,
+             "--max_steps", "2", "--batch_size", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    ae_ckpt = os.path.join(ae_dir, "RegionMM.ckpt")
+    assert os.path.exists(ae_ckpt)
+
+    dm_dir = os.path.join(root, "dm")
+    r = run(["scripts/train_dm.py", "--config", cfg, "--log_dir", dm_dir,
+             "--flowae_checkpoint", ae_ckpt, "--max_steps", "2",
+             "--batch_size", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    dm_ckpt = os.path.join(dm_dir, "flowdiff.ckpt")
+    assert os.path.exists(dm_ckpt)
+    # metrics jsonl has loss records
+    recs = [json.loads(l) for l in open(os.path.join(dm_dir, "metrics.jsonl"))]
+    assert any("loss" in r for r in recs)
+
+    # resume path
+    r = run(["scripts/train_dm.py", "--config", cfg, "--log_dir", dm_dir,
+             "--flowae_checkpoint", ae_ckpt, "--checkpoint", dm_ckpt,
+             "--set_start", "--max_steps", "3", "--batch_size", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    vd_dir = os.path.join(root, "valid")
+    r = run(["scripts/valid_dm.py", "--config", cfg, "--log_dir", vd_dir,
+             "--checkpoint", dm_ckpt, "--flowae_checkpoint", ae_ckpt,
+             "--num_sample_video", "2", "--total_videos", "2", "--batch_size", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = open(os.path.join(vd_dir, "metrics.txt")).read()
+    assert "fvd_traj" in metrics and "psnr2" in metrics
+    assert os.path.exists(os.path.join(vd_dir, "sample0.gif"))
