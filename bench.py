@@ -81,7 +81,8 @@ def main():
         np.random.RandomState(0).rand(batch, cfg.cond_frames, 64, 64, 3), jnp.float32
     )
 
-    sample_fn = jax.jit(lambda k, c: fd.sample_video(lfae_vars, unet_vars, k, c))
+    # split-program sampler: encode / ddim-scan / decode compile separately
+    sample_fn = fd.make_sampler(lfae_vars, unet_vars)
 
     # warmup / compile
     out = sample_fn(jax.random.PRNGKey(1), cond)

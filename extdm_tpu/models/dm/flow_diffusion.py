@@ -303,6 +303,62 @@ class FlowDiffusion:
         return loss, aux
 
     # ---- sampling ---------------------------------------------------------------
+    def make_sampler(self, lfae_variables, unet_variables, decode: bool = True):
+        """Split-program sampler: encode / DDIM-scan / decode compiled as
+        three separate XLA programs. Functionally identical to
+        `sample_video`, but each program is a fraction of the size — the
+        tunneled TPU's remote-compile service drops oversized programs, and
+        smaller programs also cache/reuse better across (tc, tp) configs.
+        Returns fn(key, cond_video) -> same dict as `sample_video`."""
+        cfg = self.cfg
+        tc, tp = cfg.cond_frames, cfg.pred_frames
+
+        # NOTE: variables are jit *arguments*, never closure captures —
+        # captured arrays get inlined into the HLO as constants, which blows
+        # the program past the remote-compile service's size limit (HTTP 413)
+        # and defeats the compilation cache.
+        @jax.jit
+        def encode(lv, cond_video):
+            enc = self.lfae.apply(lv, cond_video, tc, method=LFAE.encode_video)
+            fea = None
+            if cfg.use_ref_features:
+                fea = self.lfae.apply(lv, cond_video, tc, tp,
+                                      method=LFAE.ref_features)
+            return enc, fea
+
+        @jax.jit
+        def ddim(uv, key, x_cond, fea):
+            return self.diffusion.sample(self.denoise_fn(uv), key, x_cond, tp, fea)
+
+        @jax.jit
+        def decode_fn(lv, ref_img, flow, conf):
+            return self.lfae.apply(lv, ref_img, flow, conf,
+                                   method=LFAE.decode_flows)
+
+        def sampler(key, cond_video):
+            enc, fea = encode(lfae_variables, cond_video)
+            x_cond = self.latents_from_encode(enc)
+            pred = ddim(unet_variables, key, x_cond, fea)
+            sample_flow = jnp.concatenate([enc["flow"], pred[..., :2]], axis=1)
+            sample_conf = None
+            if enc["conf"] is not None:
+                sample_conf = jnp.concatenate(
+                    [enc["conf"], (pred[..., 2:3] + 1.0) * 0.5], axis=1)
+            out = {
+                "sample_vid_grid": sample_flow,
+                "sample_vid_conf": sample_conf,
+                "real_vid_grid": enc["flow"],
+                "real_vid_conf": enc["conf"],
+            }
+            if decode:
+                dec = decode_fn(lfae_variables, cond_video[:, tc - 1],
+                                sample_flow, sample_conf)
+                out["sample_out_vid"] = dec["out_vid"]
+                out["sample_warped_vid"] = dec["warped_vid"]
+            return out
+
+        return sampler
+
     def sample_video(
         self,
         lfae_variables,

@@ -74,9 +74,7 @@ def run_validation(fd, lfae_vars, unet_params, cfg_raw, key, num_videos=16,
                       random_time=False, seed=seed)
     loader = DataLoader(ds, batch_size, shuffle=False, num_workers=4,
                         drop_last=False, seed=seed)
-    sample_fn = _jax.jit(
-        lambda k, c: fd.sample_video(lfae_vars, {"params": unet_params}, k, c)
-    )
+    sample_fn = fd.make_sampler(lfae_vars, {"params": unet_params})
     reals, fakes = [], []
     for i, (clips, _) in enumerate(loader):
         video = np.stack([to_rgb_video(c) for c in clips])

@@ -75,8 +75,10 @@ def main():
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=8,
                         drop_last=False, seed=args.seed)
 
+    # variables as jit argument (not closure capture): captured arrays are
+    # inlined into the HLO and overflow the remote compile service.
     encode_fn = jax.jit(
-        lambda v: lfae.apply(variables, v, tc, True, method=LFAE.encode_video)
+        lambda vars_, v: lfae.apply(vars_, v, tc, True, method=LFAE.encode_video)
     )
 
     reals, recons, warps = [], [], []
@@ -84,7 +86,7 @@ def main():
     n_frames = 0
     for clips, _ in loader:
         video = jnp.asarray(np.stack([to_rgb_video(c) for c in clips]))
-        out = encode_fn(video)
+        out = encode_fn(variables, video)
         jax.block_until_ready(out["out_vid"])
         n_frames += video.shape[0] * video.shape[1]
         reals.append(np.asarray(video))

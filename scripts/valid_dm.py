@@ -96,7 +96,7 @@ def main():
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=8,
                         drop_last=False, seed=args.seed)
 
-    sample_fn = jax.jit(lambda k, c: fd.sample_video(lfae_vars, unet_vars, k, c))
+    sample_fn = fd.make_sampler(lfae_vars, unet_vars)
 
     n_traj = args.num_sample_video
     real_all, sample_all = [], []

@@ -22,7 +22,7 @@ ENV = dict(
 
 def run(args, **kw):
     return subprocess.run([sys.executable] + args, cwd=REPO, env=ENV,
-                          capture_output=True, text=True, timeout=1200, **kw)
+                          capture_output=True, text=True, timeout=1800, **kw)
 
 
 @pytest.fixture(scope="module")
