@@ -58,7 +58,7 @@ KTH_FLOW_PARAMS = dict(
 def main():
     from extdm_tpu.models.dm import FlowDiffusion, FlowDiffusionConfig
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     cfg = FlowDiffusionConfig(

@@ -17,6 +17,13 @@ DEFAULT_DIR = os.environ.get(
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
+    # Honor JAX_PLATFORMS strictly: the environment's TPU plugin appends
+    # itself to jax_platforms even when the env var says "cpu", which makes
+    # nominally-CPU subprocesses contend for the (single-client) TPU.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and jax.config.jax_platforms != env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
     path = path or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
