@@ -244,13 +244,29 @@ class FlowDiffusion:
         return lfae_vars, unet_vars
 
     # ---- latent helpers ---------------------------------------------------------
+    def _identity_grid(self, h: int, w: int) -> Array:
+        from extdm_tpu.ops.coords import make_coordinate_grid
+
+        return make_coordinate_grid(h, w)[None, None]  # (1, 1, h, w, 2)
+
     def latents_from_encode(self, enc: Dict[str, Array]) -> Array:
-        """cat(flow, conf*2-1) channels-last (ref :339)."""
+        """cat(flow, conf*2-1) channels-last (ref :336-339); with
+        use_residual_flow the identity grid is subtracted first (:333-336)."""
         flow, conf = enc["flow"], enc["conf"]
+        if self.cfg.use_residual_flow:
+            flow = flow - self._identity_grid(*flow.shape[2:4])
         if conf is None:
             conf = jnp.zeros_like(flow[..., :1])
             return jnp.concatenate([flow, conf], axis=-1)
         return jnp.concatenate([flow, conf * 2.0 - 1.0], axis=-1)
+
+    def flow_from_pred(self, pred: Array) -> Array:
+        """Predicted latents -> absolute flow (re-adds the identity grid for
+        residual mode, ref :351-355, :475-481)."""
+        flow = pred[..., :2]
+        if self.cfg.use_residual_flow:
+            flow = flow + self._identity_grid(*flow.shape[2:4])
+        return flow
 
     def denoise_fn(self, unet_variables):
         def fn(x, t, cond_frames, cond_fea):
@@ -291,7 +307,7 @@ class FlowDiffusion:
 
         if cfg.with_rec_losses:
             ref_img = video[:, tc - 1]
-            fake_flow = pred_x0[..., :2]
+            fake_flow = self.flow_from_pred(pred_x0)
             fake_conf = (pred_x0[..., 2:3] + 1.0) * 0.5
             dec = jax.lax.stop_gradient(
                 self.lfae.apply(lfae_variables, ref_img, fake_flow, fake_conf,
@@ -339,7 +355,7 @@ class FlowDiffusion:
             enc, fea = encode(lfae_variables, cond_video)
             x_cond = self.latents_from_encode(enc)
             pred = ddim(unet_variables, key, x_cond, fea)
-            sample_flow = jnp.concatenate([enc["flow"], pred[..., :2]], axis=1)
+            sample_flow = jnp.concatenate([enc["flow"], self.flow_from_pred(pred)], axis=1)
             sample_conf = None
             if enc["conf"] is not None:
                 sample_conf = jnp.concatenate(
@@ -384,7 +400,7 @@ class FlowDiffusion:
         pred = self.diffusion.sample(
             self.denoise_fn(unet_variables), key, x_cond, tp, fea
         )
-        sample_flow = jnp.concatenate([enc["flow"], pred[..., :2]], axis=1)
+        sample_flow = jnp.concatenate([enc["flow"], self.flow_from_pred(pred)], axis=1)
         sample_conf = None
         if enc["conf"] is not None:
             sample_conf = jnp.concatenate(

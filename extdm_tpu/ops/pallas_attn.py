@@ -6,10 +6,15 @@ scores + softmax + weighted sum through HBM; this kernel keeps the whole
 (scores -> +bias -> +mask -> softmax -> @V) pipeline in VMEM, one grid
 program per (window, head).
 
-Used by nn.attention.WindowAttention3D when `extdm_tpu.ops.pallas_attn.
-enabled()` (env EXTDM_PALLAS=1, TPU backend only); falls back to the XLA
-einsum path otherwise. Parity is pinned by tests/test_pallas.py (interpret
-mode on CPU).
+Autodiff: pallas_call has no built-in VJP, so the op carries a custom_vjp —
+Pallas forward, XLA-recompute backward (the standard pattern: the backward
+re-derives the softmax weights with the einsum path and differentiates
+that). Training therefore works through the fused kernel; sampling gets the
+full fusion win.
+
+Used by nn.attention.WindowAttention3D when `enabled()` (env EXTDM_PALLAS,
+TPU backend only); falls back to the XLA einsum path otherwise. Parity is
+pinned by tests/test_pallas.py (interpret mode on CPU).
 """
 from __future__ import annotations
 
@@ -19,7 +24,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def enabled() -> bool:
@@ -50,7 +54,55 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attention_pallas(q, k, v, bias, mask, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    BW, H, N, D = q.shape
+    nW = mask.shape[0]
+    qkv_spec = pl.BlockSpec((1, 1, N, D), lambda i, j: (i, j, 0, 0))
+    bias_spec = pl.BlockSpec((1, N, N), lambda i, j: (j, 0, 0))
+    mask_spec = pl.BlockSpec((1, N, N), lambda i, j: (i % nW, 0, 0))
+    return pl.pallas_call(
+        _kernel,
+        grid=(BW, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias, mask)
+
+
+def _attention_reference(q, k, v, bias, mask):
+    """XLA einsum path — used for the backward pass and CPU fallback."""
+    BW, H, N, D = q.shape
+    nW = mask.shape[0]
+    attn = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32), k.astype(jnp.float32))
+    attn = attn + bias.astype(jnp.float32)[None]
+    attn = attn.reshape(BW // nW, nW, H, N, N) + mask.astype(jnp.float32)[None, :, None]
+    attn = attn.reshape(BW, H, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused(q, k, v, bias, mask, interpret):
+    return _attention_pallas(q, k, v, bias, mask, interpret)
+
+
+def _fused_fwd(q, k, v, bias, mask, interpret):
+    return _attention_pallas(q, k, v, bias, mask, interpret), (q, k, v, bias, mask)
+
+
+def _fused_bwd(interpret, res, g):
+    q, k, v, bias, mask = res
+    _, vjp = jax.vjp(_attention_reference, q, k, v, bias, mask)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def fused_window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -62,25 +114,7 @@ def fused_window_attention(
     """q/k/v: (BW, H, N, D) — BW = batch*windows, H heads, N tokens.
     bias: (H, N, N) additive (relative position bias).
     mask: (nW, N, N) additive or None; window i uses mask[i % nW].
-    q must already be scaled (and rotary applied). Returns (BW, H, N, D).
-    """
-    from jax.experimental import pallas as pl
-
-    BW, H, N, D = q.shape
+    q must already be scaled (and rotary applied). Returns (BW, H, N, D)."""
     if mask is None:
-        mask = jnp.zeros((1, N, N), q.dtype)
-    nW = mask.shape[0]
-
-    grid = (BW, H)
-    qkv_spec = pl.BlockSpec((1, 1, N, D), lambda i, j: (i, j, 0, 0))
-    bias_spec = pl.BlockSpec((1, N, N), lambda i, j: (j, 0, 0))
-    mask_spec = pl.BlockSpec((1, N, N), lambda i, j: (i % nW, 0, 0))
-
-    return pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias, mask)
+        mask = jnp.zeros((1, q.shape[2], q.shape[2]), q.dtype)
+    return _fused(q, k, v, bias, mask, interpret)

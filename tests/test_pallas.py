@@ -48,3 +48,24 @@ class TestFusedWindowAttention:
         from extdm_tpu.ops import pallas_attn
 
         assert not pallas_attn.enabled()
+
+
+    def test_grad_via_custom_vjp(self):
+        import jax
+
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(2, 2, 64, 16), jnp.float32)
+        k = jnp.asarray(rng.randn(2, 2, 64, 16), jnp.float32)
+        v = jnp.asarray(rng.randn(2, 2, 64, 16), jnp.float32)
+        bias = jnp.asarray(rng.randn(2, 64, 64) * 0.1, jnp.float32)
+
+        def f(q, k, v):
+            return jnp.sum(fused_window_attention(q, k, v, bias, None, interpret=True) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(_reference(q, k, v, bias, None) ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
