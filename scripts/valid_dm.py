@@ -51,6 +51,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--i3d_params", default="", help="converted I3D weights (msgpack)")
+    p.add_argument("--metrics", default="fvd,psnr,ssim,lpips",
+                   help="comma-separated subset of fvd,psnr,ssim,lpips")
     args = p.parse_args()
 
     from extdm_tpu.config import dm_config_from_yaml, load_config
@@ -126,42 +128,51 @@ def main():
     print(f"evaluated {N} videos x {n_traj} trajectories")
 
     # --- metrics (reference protocol) -------------------------------------------
-    i3d_params = None
-    if args.i3d_params and os.path.exists(args.i3d_params):
-        from extdm_tpu.train import load_checkpoint as _lc
+    wanted = set(args.metrics.split(","))
+    lines = []
+    best = samples.reshape(N, n_traj, *samples.shape[1:])[:, 0]
 
-        i3d_params = _lc(args.i3d_params)
-    extractor = I3DExtractor(params=i3d_params)
-    real_feats = extractor.get_feats(real)
-    traj_feats = extractor.get_feats(samples)
-    fvd_traj = [
-        calculate_fvd2(traj_feats[i::n_traj], real_feats) for i in range(n_traj)
-    ]
-    best_idx = best_trajectory_by_feature_distance(real_feats, traj_feats, n_traj)
-    best = samples.reshape(N, n_traj, *samples.shape[1:])[np.arange(N), best_idx]
-    fvd_best = calculate_fvd2(
-        traj_feats.reshape(N, n_traj, -1)[np.arange(N), best_idx], real_feats
-    )
+    if "fvd" in wanted:
+        i3d_params = None
+        if args.i3d_params and os.path.exists(args.i3d_params):
+            from extdm_tpu.train import load_checkpoint as _lc
+
+            i3d_params = _lc(args.i3d_params)
+        extractor = I3DExtractor(params=i3d_params)
+        real_feats = extractor.get_feats(real)
+        traj_feats = extractor.get_feats(samples)
+        fvd_traj = [
+            calculate_fvd2(traj_feats[i::n_traj], real_feats) for i in range(n_traj)
+        ]
+        best_idx = best_trajectory_by_feature_distance(real_feats, traj_feats, n_traj)
+        best = samples.reshape(N, n_traj, *samples.shape[1:])[np.arange(N), best_idx]
+        fvd_best = calculate_fvd2(
+            traj_feats.reshape(N, n_traj, -1)[np.arange(N), best_idx], real_feats
+        )
+        fvd_mean, fvd_std, fvd_conf = metric_stuff(np.asarray(fvd_traj))
+        lines += [
+            f"fvd_traj mean/std/conf95: {fvd_mean:.3f} / {fvd_std:.3f} / {fvd_conf:.3f}",
+            f"fvd_best: {fvd_best:.3f}",
+            f"i3d_pretrained: {extractor.pretrained}",
+        ]
 
     def tchw(v):  # metrics expect (B, T, C, H, W)
         return v.transpose(0, 1, 4, 2, 3)
 
     real_rep = np.repeat(real, n_traj, axis=0)
-    psnr2 = calculate_psnr2(tchw(samples), tchw(real_rep), n_traj)
-    ssim2 = calculate_ssim2(tchw(samples), tchw(real_rep), n_traj)
-    lpips_m = LPIPSMetric()
-    lpips2 = lpips_m.calculate_lpips2(samples, real_rep, n_traj)
-
-    fvd_mean, fvd_std, fvd_conf = metric_stuff(np.asarray(fvd_traj))
-    lines = [
-        f"fvd_traj mean/std/conf95: {fvd_mean:.3f} / {fvd_std:.3f} / {fvd_conf:.3f}",
-        f"fvd_best: {fvd_best:.3f}",
-        f"psnr2 (best-of-{n_traj}): {psnr2:.3f}",
-        f"ssim2 (best-of-{n_traj}): {ssim2:.4f}",
-        f"lpips2 (best-of-{n_traj}): {lpips2:.4f}",
-        f"i3d_pretrained: {extractor.pretrained}",
-        f"lpips_pretrained: {lpips_m.pretrained}",
-    ]
+    if "psnr" in wanted:
+        psnr2 = calculate_psnr2(tchw(samples), tchw(real_rep), n_traj)
+        lines.append(f"psnr2 (best-of-{n_traj}): {psnr2:.3f}")
+    if "ssim" in wanted:
+        ssim2 = calculate_ssim2(tchw(samples), tchw(real_rep), n_traj)
+        lines.append(f"ssim2 (best-of-{n_traj}): {ssim2:.4f}")
+    if "lpips" in wanted:
+        lpips_m = LPIPSMetric()
+        lpips2 = lpips_m.calculate_lpips2(samples, real_rep, n_traj)
+        lines += [
+            f"lpips2 (best-of-{n_traj}): {lpips2:.4f}",
+            f"lpips_pretrained: {lpips_m.pretrained}",
+        ]
     print("\n".join(lines))
     with open(os.path.join(args.log_dir, "metrics.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -96,8 +96,9 @@ def test_cli_pipeline(tiny_setup):
     vd_dir = os.path.join(root, "valid")
     r = run(["scripts/valid_dm.py", "--config", cfg, "--log_dir", vd_dir,
              "--checkpoint", dm_ckpt, "--flowae_checkpoint", ae_ckpt,
-             "--num_sample_video", "2", "--total_videos", "2", "--batch_size", "2"])
+             "--num_sample_video", "2", "--total_videos", "2", "--batch_size", "2",
+             "--metrics", "psnr,ssim"])
     assert r.returncode == 0, r.stderr[-3000:]
     metrics = open(os.path.join(vd_dir, "metrics.txt")).read()
-    assert "fvd_traj" in metrics and "psnr2" in metrics
+    assert "psnr2" in metrics and "ssim2" in metrics
     assert os.path.exists(os.path.join(vd_dir, "sample0.gif"))
