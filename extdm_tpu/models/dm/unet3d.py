@@ -178,6 +178,7 @@ class Unet3D(nn.Module):
     down_adaptor_from_level: int = 0  # ada: 0 (all levels); traj: 2
     cond_dim: Optional[int] = None  # text/class embedding dim (BERT: 768)
     learn_null_cond: bool = False
+    remat: bool = True  # rematerialize per-level blocks (activation memory)
     dtype: Dtype = None
 
     @nn.compact
@@ -194,6 +195,14 @@ class Unet3D(nn.Module):
         x = jnp.concatenate([cond_frames, x], axis=1)  # (B, T, h, w, C)
         B, T, H, W, _ = x.shape
         k0 = self.init_kernel_size
+
+        # remat: trade recompute for activation memory — at KTH scale
+        # (T=30, batch 8) the un-remat backward exceeds one chip's HBM.
+        if self.remat:
+            Res, STW = nn.remat(ResnetBlock3d), nn.remat(PreNormSTW)
+            TAttn, Adap = nn.remat(PreNormTemporalAttn), nn.remat(MotionAdaptor)
+        else:
+            Res, STW, TAttn, Adap = ResnetBlock3d, PreNormSTW, PreNormTemporalAttn, MotionAdaptor
 
         # --- positional biases ------------------------------------------------
         if path == 1:
@@ -281,46 +290,46 @@ class Unet3D(nn.Module):
         def adaptor_block(name, h):
             # per-level MotionAdaptor exists in both ada and traj variants
             if self.conditioning in ("adaptor", "trajwarp"):
-                return MotionAdaptor(tc, tp, dtype=self.dtype, name=name)(h)
+                return Adap(tc, tp, dtype=self.dtype, name=name)(h)
             return h
 
         hs = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = ResnetBlock3d(dim_out, self.resnet_groups, self.dtype, name=f"down{ind}_block1")(x, t_emb)
-            x = ResnetBlock3d(dim_out, self.resnet_groups, self.dtype, name=f"down{ind}_block2")(x, t_emb)
-            x = PreNormSTW(self.window_size, shift_size, heads, dim_head, self.dtype,
-                           name=f"down{ind}_stw1")(x)
-            x = PreNormSTW(self.window_size, (0, 0, 0), heads, dim_head, self.dtype,
-                           name=f"down{ind}_stw2")(x)
+            x = Res(dim_out, self.resnet_groups, self.dtype, name=f"down{ind}_block1")(x, t_emb)
+            x = Res(dim_out, self.resnet_groups, self.dtype, name=f"down{ind}_block2")(x, t_emb)
+            x = STW(self.window_size, shift_size, heads, dim_head, self.dtype,
+                    name=f"down{ind}_stw1")(x)
+            x = STW(self.window_size, (0, 0, 0), heads, dim_head, self.dtype,
+                    name=f"down{ind}_stw2")(x)
             if ind >= self.down_adaptor_from_level:  # traj variants gate ind>1
                 x = adaptor_block(f"down{ind}_adaptor", x)
-            x = PreNormTemporalAttn(heads, dim_head, self.dtype,
-                                    name=f"down{ind}_tattn")(x, time_rel_pos_bias)
+            x = TAttn(heads, dim_head, self.dtype,
+                      name=f"down{ind}_tattn")(x, time_rel_pos_bias)
             hs.append(x)
             if not is_last:
                 x = Downsample(dim_out, self.dtype, name=f"down{ind}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock3d(mid_dim, self.resnet_groups, self.dtype, name="mid_block1")(x, t_emb)
-        x = PreNormSTW(self.window_size, shift_size, heads, dim_head, self.dtype, name="mid_attn1")(x)
-        x = PreNormSTW(self.window_size, (0, 0, 0), heads, dim_head, self.dtype, name="mid_attn2")(x)
+        x = Res(mid_dim, self.resnet_groups, self.dtype, name="mid_block1")(x, t_emb)
+        x = STW(self.window_size, shift_size, heads, dim_head, self.dtype, name="mid_attn1")(x)
+        x = STW(self.window_size, (0, 0, 0), heads, dim_head, self.dtype, name="mid_attn2")(x)
         x = adaptor_block("mid_adaptor", x)
-        x = ResnetBlock3d(mid_dim, self.resnet_groups, self.dtype, name="mid_block2")(x, t_emb)
+        x = Res(mid_dim, self.resnet_groups, self.dtype, name="mid_block2")(x, t_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= num_res - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock3d(dim_in, self.resnet_groups, self.dtype, name=f"up{ind}_block1")(x, t_emb)
-            x = ResnetBlock3d(dim_in, self.resnet_groups, self.dtype, name=f"up{ind}_block2")(x, t_emb)
-            x = PreNormSTW(self.window_size, shift_size, heads, dim_head, self.dtype,
-                           name=f"up{ind}_stw1")(x)
-            x = PreNormSTW(self.window_size, (0, 0, 0), heads, dim_head, self.dtype,
-                           name=f"up{ind}_stw2")(x)
+            x = Res(dim_in, self.resnet_groups, self.dtype, name=f"up{ind}_block1")(x, t_emb)
+            x = Res(dim_in, self.resnet_groups, self.dtype, name=f"up{ind}_block2")(x, t_emb)
+            x = STW(self.window_size, shift_size, heads, dim_head, self.dtype,
+                    name=f"up{ind}_stw1")(x)
+            x = STW(self.window_size, (0, 0, 0), heads, dim_head, self.dtype,
+                    name=f"up{ind}_stw2")(x)
             if ind > 1:  # ref :1136 — adaptor only on the deeper up levels
                 x = adaptor_block(f"up{ind}_adaptor", x)
-            x = PreNormTemporalAttn(heads, dim_head, self.dtype,
-                                    name=f"up{ind}_tattn")(x, time_rel_pos_bias)
+            x = TAttn(heads, dim_head, self.dtype,
+                      name=f"up{ind}_tattn")(x, time_rel_pos_bias)
             if not is_last:
                 x = ConvTranspose(dim_in, (1, 4, 4), (1, 2, 2), dtype=self.dtype,
                                   name=f"up{ind}_upsample")(x)

@@ -91,3 +91,83 @@ def lfae_visualize(
     """Reconstruction grid: real / recon / (warped) (ref LFAE_visualize :283-336)."""
     rows = [real, recon] + ([warped] if warped is not None else [])
     save_image(path_prefix + "_grid.png", comparison_grid(rows, max_frames))
+
+
+def _disk_mask(h: int, w: int, cy: float, cx: float, radius: float):
+    ys, xs = np.ogrid[:h, :w]
+    return (ys - cy) ** 2 + (xs - cx) ** 2 <= radius**2
+
+
+class RegionVisualizer:
+    """Region/keypoint diagnostics grid (reference util.py Visualizer
+    :313-432): source/driving frames with region centers, colored heatmaps,
+    deformed image, occlusion map, prediction — rendered matplotlib-free.
+    """
+
+    def __init__(self, kp_size: int = 5, colormap: str = "gist_rainbow",
+                 region_bg_color=(0, 0, 0)):
+        self.kp_size = kp_size
+        self.colormap_name = colormap
+        self.region_bg_color = np.asarray(region_bg_color, np.float32)
+
+    def _color(self, i: int, n: int):
+        import matplotlib.cm as cm
+
+        return np.asarray(cm.get_cmap(self.colormap_name)(i / max(n, 1))[:3], np.float32)
+
+    def draw_image_with_kp(self, image: np.ndarray, kp: np.ndarray) -> np.ndarray:
+        """image (H, W, 3) float [0,1]; kp (K, 2) in [-1, 1] (x, y)."""
+        img = image.copy()
+        h, w = img.shape[:2]
+        pix = (kp + 1) / 2 * np.asarray([w, h])
+        for i, (x, y) in enumerate(pix):
+            mask = _disk_mask(h, w, y, x, self.kp_size)
+            img[mask] = self._color(i, len(pix))
+        return img
+
+    def colored_heatmap(self, heatmap: np.ndarray) -> np.ndarray:
+        """heatmap (H, W, K) -> (H, W, 3) colored composite (ref :291-310)."""
+        h, w, K = heatmap.shape
+        parts, weights = [], []
+        for i in range(K):
+            part = heatmap[..., i:i+1]
+            part = part / max(part.max(), 1e-8)
+            weights.append(part)
+            parts.append(part * self._color(i, K))
+        weight = np.sum(weights, axis=0)
+        bg_w = 1 - np.minimum(1, weight)
+        weight = np.maximum(1, weight)
+        return (np.sum(parts, axis=0) / weight + bg_w * self.region_bg_color).clip(0, 1)
+
+    def visualize(self, source: np.ndarray, driving: np.ndarray, out: dict,
+                  index: int = 0) -> np.ndarray:
+        """Build the diagnostics grid for one sample; inputs are numpy
+        channels-last arrays as produced by the LFAE forward."""
+        import cv2
+
+        h, w = source.shape[1:3]
+        cells = []
+        src_params = out["source_region_params"]
+        cells.append(self.draw_image_with_kp(source[index], np.asarray(src_params["shift"][index])))
+        if "heatmap" in src_params:
+            hm = np.asarray(src_params["heatmap"][index])
+            hm = cv2.resize(hm, (w, h), interpolation=cv2.INTER_LINEAR)
+            cells.append(self.colored_heatmap(hm))
+        if "deformed" in out:
+            cells.append(np.asarray(out["deformed"][index]))
+        drv_params = out["driving_region_params"]
+        cells.append(self.draw_image_with_kp(driving[index], np.asarray(drv_params["shift"][index])))
+        cells.append(np.asarray(out["prediction"][index]))
+        if "occlusion_map" in out:
+            occ = np.asarray(out["occlusion_map"][index])
+            occ = cv2.resize(occ, (w, h), interpolation=cv2.INTER_LINEAR)
+            if occ.ndim == 2:
+                occ = occ[..., None]
+            cells.append(np.repeat(occ, 3, axis=-1))
+        # 2-row grid
+        n = len(cells)
+        cols = (n + 1) // 2
+        blank = np.zeros_like(cells[0])
+        cells = cells + [blank] * (2 * cols - n)
+        rows = [np.concatenate(cells[:cols], axis=1), np.concatenate(cells[cols:], axis=1)]
+        return to_uint8(np.concatenate(rows, axis=0))

@@ -50,6 +50,43 @@ def convert_frames_tree(src: str, out: str, image_size: int, split: str):
     print(f"wrote {len(videos)} videos to {out}/{split}")
 
 
+def convert_video_files(src: str, out: str, split: str, image_size: int, gray: bool):
+    """Decode video files (avi/mp4/...) with cv2 into the shard layout —
+    covers the reference's documented KTH/UCF converters (README.md:77-132)."""
+    import cv2
+
+    from extdm_tpu.data import HDF5VideoWriter
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(src, "**", "*"), recursive=True)
+        if os.path.splitext(f)[1].lower() in (".avi", ".mp4", ".mov", ".mkv", ".webm")
+    )
+    assert files, f"no video files under {src}"
+    writer = HDF5VideoWriter(os.path.join(out, split), force=True)
+    n = 0
+    for path in files:
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if gray:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            else:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if image_size and frame.shape[0] != image_size:
+                frame = cv2.resize(frame, (image_size, image_size),
+                                   interpolation=cv2.INTER_AREA)
+            frames.append(frame.astype(np.uint8))
+        cap.release()
+        if frames:
+            writer.add_video(frames)
+            n += 1
+    writer.close()
+    print(f"wrote {n} videos to {out}/{split}")
+
+
 def convert_npy(src: str, out: str, split: str):
     from extdm_tpu.data import write_video_hdf5
 
@@ -86,6 +123,13 @@ def main():
     np_.add_argument("--out", required=True)
     np_.add_argument("--split", default="train")
 
+    vp = sub.add_parser("videos", help="directory of video files -> h5 shards (cv2)")
+    vp.add_argument("--src", required=True)
+    vp.add_argument("--out", required=True)
+    vp.add_argument("--split", default="train")
+    vp.add_argument("--image_size", type=int, default=64)
+    vp.add_argument("--gray", action="store_true", help="store grayscale (KTH-style)")
+
     args = p.parse_args()
     if args.cmd == "shapes":
         from extdm_tpu.data import make_moving_shapes_dataset
@@ -97,6 +141,8 @@ def main():
         convert_frames_tree(args.src, args.out, args.image_size, args.split)
     elif args.cmd == "npy":
         convert_npy(args.src, args.out, args.split)
+    elif args.cmd == "videos":
+        convert_video_files(args.src, args.out, args.split, args.image_size, args.gray)
 
 
 if __name__ == "__main__":

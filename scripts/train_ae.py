@@ -107,6 +107,25 @@ def main():
     max_steps = args.max_steps or (tp["max_epochs"] * max(len(loader), 1))
     print_freq = tp.get("print_freq", 100)
     save_freq = tp.get("update_ckpt_freq", 2500)
+    img_freq = tp.get("save_img_freq", 0)
+    imgshot_dir = os.path.join(args.log_dir, "imgshots")
+
+    def save_imgshot(state, batch, step):
+        """Region diagnostics grid (reference imgshot, scripts/AE/train.py:324)."""
+        from extdm_tpu.utils.visualize import RegionVisualizer, save_image
+
+        (_, generated), _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, rngs={"tps": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+        )
+        out = {k: np.asarray(v) if not isinstance(v, dict)
+               else {kk: np.asarray(vv) for kk, vv in v.items()}
+               for k, v in generated.items()
+               if k in ("prediction", "deformed", "occlusion_map",
+                        "source_region_params", "driving_region_params")}
+        grid = RegionVisualizer(kp_size=2).visualize(
+            np.asarray(batch["source"]), np.asarray(batch["driving"]), out)
+        save_image(os.path.join(imgshot_dir, f"step{step:07d}.png"), grid)
 
     with mesh:
         while step < max_steps:
@@ -128,6 +147,8 @@ def main():
                         os.path.join(args.log_dir, "RegionMM.ckpt"),
                         {"example": step * batch_size, "step": step, "state": state},
                     )
+                if img_freq and step > 0 and step % img_freq == 0:
+                    save_imgshot(state, batch, step)
                 step += 1
 
     save_checkpoint(os.path.join(args.log_dir, "RegionMM.ckpt"),
