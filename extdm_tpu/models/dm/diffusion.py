@@ -240,6 +240,44 @@ class GaussianDiffusion:
         (img, _), _ = jax.lax.scan(step, (img, key), ts)
         return img
 
+    def interpolate(
+        self,
+        denoise_fn: DenoiseFn,
+        key: jax.Array,
+        x_cond: jnp.ndarray,
+        x1: jnp.ndarray,
+        x2: jnp.ndarray,
+        cond_fea: Optional[jnp.ndarray] = None,
+        t: Optional[int] = None,
+        lam: float = 0.5,
+    ) -> jnp.ndarray:
+        """Latent interpolation (ref Diffusion.py:260-274): noise both
+        latents to step t, mix with weight lam, then ancestrally denoise
+        back from t."""
+        s = self.schedule
+        t = s.num_timesteps - 1 if t is None else t
+        B = x1.shape[0]
+        key, k1 = jax.random.split(key)
+        tb = jnp.full((B,), t, jnp.int32)
+        noise = jax.random.normal(k1, x1.shape, x1.dtype)
+        xt1 = self.q_sample(x1, tb, noise)
+        xt2 = self.q_sample(x2, tb, noise)
+        img = (1 - lam) * xt1 + lam * xt2
+
+        def step(carry, ti):
+            img, key = carry
+            key, nkey = jax.random.split(key)
+            t_b = jnp.full((B,), ti, jnp.int32)
+            eps = denoise_fn(img, t_b, x_cond, cond_fea)
+            x0 = self._maybe_threshold(self.predict_start_from_noise(img, t_b, eps))
+            mean, _, log_var = self.q_posterior(x0, img, t_b)
+            nz = (ti > 0).astype(img.dtype)
+            img = mean + nz * jnp.exp(0.5 * log_var) * jax.random.normal(nkey, img.shape, img.dtype)
+            return (img, key), None
+
+        (img, _), _ = jax.lax.scan(step, (img, key), jnp.arange(t - 1, -1, -1))
+        return img
+
     def sample(self, denoise_fn, key, x_cond, pred_frames, cond_fea=None):
         if self.sampling_timesteps < self.schedule.num_timesteps:
             return self.ddim_sample(denoise_fn, key, x_cond, pred_frames, cond_fea)

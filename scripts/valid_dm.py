@@ -53,6 +53,9 @@ def main():
     p.add_argument("--i3d_params", default="", help="converted I3D weights (msgpack)")
     p.add_argument("--metrics", default="fvd,psnr,ssim,lpips",
                    help="comma-separated subset of fvd,psnr,ssim,lpips")
+    p.add_argument("--dump_flow", action="store_true",
+                   help="save GT-vs-predicted flow/conf visualizations "
+                        "(ref valid_with_generate_flow_and_conf.py)")
     args = p.parse_args()
 
     from extdm_tpu.config import dm_config_from_yaml, load_config
@@ -102,6 +105,7 @@ def main():
 
     n_traj = args.num_sample_video
     real_all, sample_all = [], []
+    flow_dump = None
     for clips, _ in loader:
         video = np.stack([to_rgb_video(c) for c in clips])  # (B, T, H, W, 3)
         B = video.shape[0]
@@ -121,6 +125,9 @@ def main():
         sample_vid = np.concatenate([video_rep[:, :tc], pred_full], axis=1)
         real_all.append(video)
         sample_all.append(sample_vid)
+        if args.dump_flow and flow_dump is None:
+            flow_dump = {k: np.asarray(v) for k, v in out.items()
+                         if v is not None and k.endswith(("grid", "conf"))}
 
     real = np.concatenate(real_all)  # (N, tc+tp, H, W, 3)
     samples = np.concatenate(sample_all)  # (N*n_traj, tc+tp, H, W, 3)
@@ -183,6 +190,19 @@ def main():
     visualize_comparison_gif(
         os.path.join(args.log_dir, "sample0.gif"), real[0], best[0], tc
     )
+
+    if args.dump_flow and flow_dump is not None:
+        from extdm_tpu.utils.flow_viz import conf2fig, flow2fig
+        from extdm_tpu.utils.visualize import save_image
+
+        fdir = os.path.join(args.log_dir, "flow_vis")
+        for t in range(flow_dump["sample_vid_grid"].shape[1]):
+            save_image(os.path.join(fdir, f"flow_t{t:03d}.png"),
+                       flow2fig(flow_dump["sample_vid_grid"][0, t]))
+            if flow_dump.get("sample_vid_conf") is not None:
+                save_image(os.path.join(fdir, f"conf_t{t:03d}.png"),
+                           conf2fig(flow_dump["sample_vid_conf"][0, t]))
+        print(f"flow/conf visualizations -> {fdir}")
 
 
 if __name__ == "__main__":
