@@ -91,6 +91,9 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         out = sample_fn(jax.random.fold_in(jax.random.PRNGKey(2), i), cond)
+    # force a real device->host sync (block_until_ready alone can be
+    # optimistic on the tunneled runtime)
+    float(np.asarray(out["sample_out_vid"][0, 0, 0, 0, 0]))
     jax.block_until_ready(out["sample_out_vid"])
     elapsed = time.perf_counter() - t0
 

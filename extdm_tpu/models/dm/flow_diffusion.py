@@ -320,12 +320,13 @@ class FlowDiffusion:
 
     # ---- sampling ---------------------------------------------------------------
     def make_sampler(self, lfae_variables, unet_variables, decode: bool = True):
-        """Split-program sampler: encode / DDIM-scan / decode compiled as
-        three separate XLA programs. Functionally identical to
-        `sample_video`, but each program is a fraction of the size — the
-        tunneled TPU's remote-compile service drops oversized programs, and
-        smaller programs also cache/reuse better across (tc, tp) configs.
-        Returns fn(key, cond_video) -> same dict as `sample_video`."""
+        """Split-program sampler: encode / DDIM-scan / finalize+decode as
+        three separately compiled XLA programs. Functionally identical to
+        `sample_video`; split because the tunneled TPU's remote-compile
+        service rejects oversized programs, and all glue ops live inside
+        the jits (every op outside a jit costs a host round-trip on the
+        tunneled device). Returns fn(key, cond_video) -> same dict as
+        `sample_video`."""
         cfg = self.cfg
         tc, tp = cfg.cond_frames, cfg.pred_frames
 
@@ -340,38 +341,36 @@ class FlowDiffusion:
             if cfg.use_ref_features:
                 fea = self.lfae.apply(lv, cond_video, tc, tp,
                                       method=LFAE.ref_features)
-            return enc, fea
+            return enc, fea, self.latents_from_encode(enc)
 
         @jax.jit
         def ddim(uv, key, x_cond, fea):
             return self.diffusion.sample(self.denoise_fn(uv), key, x_cond, tp, fea)
 
         @jax.jit
-        def decode_fn(lv, ref_img, flow, conf):
-            return self.lfae.apply(lv, ref_img, flow, conf,
-                                   method=LFAE.decode_flows)
-
-        def sampler(key, cond_video):
-            enc, fea = encode(lfae_variables, cond_video)
-            x_cond = self.latents_from_encode(enc)
-            pred = ddim(unet_variables, key, x_cond, fea)
-            sample_flow = jnp.concatenate([enc["flow"], self.flow_from_pred(pred)], axis=1)
+        def finalize(lv, cond_video, enc_flow, enc_conf, pred):
+            sample_flow = jnp.concatenate([enc_flow, self.flow_from_pred(pred)], axis=1)
             sample_conf = None
-            if enc["conf"] is not None:
+            if enc_conf is not None:
                 sample_conf = jnp.concatenate(
-                    [enc["conf"], (pred[..., 2:3] + 1.0) * 0.5], axis=1)
+                    [enc_conf, (pred[..., 2:3] + 1.0) * 0.5], axis=1)
             out = {
                 "sample_vid_grid": sample_flow,
                 "sample_vid_conf": sample_conf,
-                "real_vid_grid": enc["flow"],
-                "real_vid_conf": enc["conf"],
+                "real_vid_grid": enc_flow,
+                "real_vid_conf": enc_conf,
             }
             if decode:
-                dec = decode_fn(lfae_variables, cond_video[:, tc - 1],
-                                sample_flow, sample_conf)
+                dec = self.lfae.apply(lv, cond_video[:, tc - 1], sample_flow,
+                                      sample_conf, method=LFAE.decode_flows)
                 out["sample_out_vid"] = dec["out_vid"]
                 out["sample_warped_vid"] = dec["warped_vid"]
             return out
+
+        def sampler(key, cond_video):
+            enc, fea, x_cond = encode(lfae_variables, cond_video)
+            pred = ddim(unet_variables, key, x_cond, fea)
+            return finalize(lfae_variables, cond_video, enc["flow"], enc["conf"], pred)
 
         return sampler
 

@@ -35,23 +35,60 @@ def enabled() -> bool:
     return flag and backend not in ("cpu",)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, N)
-    s = s + bias_ref[0].astype(jnp.float32) + mask_ref[0].astype(jnp.float32)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+def _make_kernel(P: int, H: int, N: int, D: int):
+    """Kernel over P packed windows x all H heads.
+
+    Per head: scores for all P windows are computed as ONE (P*N, P*N)
+    MXU matmul; a block-diagonal -inf mask kills cross-window terms, so a
+    single full-row softmax equals the per-window softmax, and the AV
+    product is again one (P*N, D) matmul. Scores never leave VMEM.
+    """
+    R = P * N
+
+    def kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
+        # block-diagonal structure masks (computed in-kernel; pallas kernels
+        # cannot capture traced constants)
+        rb = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // N
+        cb = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // N
+        same = (rb == cb)
+        off_diag = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
+        same_block = same.astype(jnp.float32)
+        # mask tiled onto the diagonal blocks: (P, N, N) -> (R, R)
+        mask = mask_ref[...]  # (P, N, N)
+        mask_diag = jnp.zeros((R, R), jnp.float32)
+        for p in range(P):
+            mask_diag = jax.lax.dynamic_update_slice(
+                mask_diag, mask[p].astype(jnp.float32), (p * N, p * N)
+            )
+        for h in range(H):
+            q = q_ref[:, h].reshape(R, D).astype(jnp.float32)
+            k = k_ref[:, h].reshape(R, D).astype(jnp.float32)
+            v = v_ref[:, h].reshape(R, D).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (R, R)
+            bias_t = jnp.tile(bias_ref[h].astype(jnp.float32), (P, P)) * same_block
+            s = s + off_diag + bias_t + mask_diag
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p_attn = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p_attn, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:, h] = o.reshape(P, N, D).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pack_factor(BW: int, nW: int, N: int) -> int:
+    """Windows per program: fill >=512 score rows, divide BW, keep the
+    shift-mask index pattern contiguous (nW % P == 0 or P % nW == 0)."""
+    for p in (8, 4, 2):
+        if BW % p == 0 and p * N >= 128 and (nW % p == 0 or nW == 1):
+            return p
+    return 1
 
 
 def _attention_pallas(q, k, v, bias, mask, interpret: bool):
@@ -59,12 +96,21 @@ def _attention_pallas(q, k, v, bias, mask, interpret: bool):
 
     BW, H, N, D = q.shape
     nW = mask.shape[0]
-    qkv_spec = pl.BlockSpec((1, 1, N, D), lambda i, j: (i, j, 0, 0))
-    bias_spec = pl.BlockSpec((1, N, N), lambda i, j: (j, 0, 0))
-    mask_spec = pl.BlockSpec((1, N, N), lambda i, j: (i % nW, 0, 0))
+    P = _pack_factor(BW, nW, N)
+
+    qkv_spec = pl.BlockSpec((P, H, N, D), lambda i: (i, 0, 0, 0))
+    bias_spec = pl.BlockSpec((H, N, N), lambda i: (0, 0, 0))
+    if nW == 1:
+        mask = jnp.broadcast_to(mask, (P, N, N))
+        mask_spec = pl.BlockSpec((P, N, N), lambda i: (0, 0, 0))
+    else:
+        # window g*P+p uses mask[(g*P+p) % nW]; with nW % P == 0 the block
+        # of P consecutive masks starts at (g*P) % nW == (g % (nW//P)) * P.
+        mask_spec = pl.BlockSpec((P, N, N), lambda i: (i % (nW // P), 0, 0))
+
     return pl.pallas_call(
-        _kernel,
-        grid=(BW, H),
+        _make_kernel(P, H, N, D),
+        grid=(BW // P,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
