@@ -35,60 +35,67 @@ def enabled() -> bool:
     return flag and backend not in ("cpu",)
 
 
-def _make_kernel(P: int, H: int, N: int, D: int):
-    """Kernel over P packed windows x all H heads.
+def _make_kernel(P: int, N: int, D: int):
+    """Kernel over P packed windows, one head per program.
 
-    Per head: scores for all P windows are computed as ONE (P*N, P*N)
-    MXU matmul; a block-diagonal -inf mask kills cross-window terms, so a
-    single full-row softmax equals the per-window softmax, and the AV
-    product is again one (P*N, D) matmul. Scores never leave VMEM.
+    Scores for all P windows are ONE (P*N, P*N) MXU matmul; the additive
+    `extra` input (precomputed in XLA: relative-position bias tiled onto the
+    diagonal blocks + shift mask + -inf off-diagonal) makes a single
+    full-row softmax equal the per-window softmax. Scores never leave VMEM.
     """
     R = P * N
 
-    def kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
-        # block-diagonal structure masks (computed in-kernel; pallas kernels
-        # cannot capture traced constants)
-        rb = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // N
-        cb = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // N
-        same = (rb == cb)
-        off_diag = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
-        same_block = same.astype(jnp.float32)
-        # mask tiled onto the diagonal blocks: (P, N, N) -> (R, R)
-        mask = mask_ref[...]  # (P, N, N)
-        mask_diag = jnp.zeros((R, R), jnp.float32)
-        for p in range(P):
-            mask_diag = jax.lax.dynamic_update_slice(
-                mask_diag, mask[p].astype(jnp.float32), (p * N, p * N)
-            )
-        for h in range(H):
-            q = q_ref[:, h].reshape(R, D).astype(jnp.float32)
-            k = k_ref[:, h].reshape(R, D).astype(jnp.float32)
-            v = v_ref[:, h].reshape(R, D).astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (R, R)
-            bias_t = jnp.tile(bias_ref[h].astype(jnp.float32), (P, P)) * same_block
-            s = s + off_diag + bias_t + mask_diag
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            p_attn = e / jnp.sum(e, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p_attn, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[:, h] = o.reshape(P, N, D).astype(o_ref.dtype)
+    def kernel(q_ref, k_ref, v_ref, extra_ref, o_ref):
+        q = q_ref[:, 0].reshape(R, D).astype(jnp.float32)
+        k = k_ref[:, 0].reshape(R, D).astype(jnp.float32)
+        v = v_ref[:, 0].reshape(R, D).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, R)
+        s = s + extra_ref[0, 0].astype(jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p_attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p_attn, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, 0] = o.reshape(P, N, D).astype(o_ref.dtype)
 
     return kernel
 
 
 def _pack_factor(BW: int, nW: int, N: int) -> int:
     """Windows per program: fill >=512 score rows, divide BW, keep the
-    shift-mask index pattern contiguous (nW % P == 0 or P % nW == 0)."""
+    shift-mask index pattern contiguous (nW % P == 0 or nW == 1)."""
     for p in (8, 4, 2):
         if BW % p == 0 and p * N >= 128 and (nW % p == 0 or nW == 1):
             return p
     return 1
+
+
+def _tiled_extra(bias, mask, P: int):
+    """Precompute (in XLA) the additive score matrix per (mask-group, head):
+    (G, H, R, R) = -inf off-diagonal + diag-tiled bias + diag-placed masks."""
+    H, N, _ = bias.shape
+    nW = mask.shape[0]
+    R = P * N
+    rb = jnp.arange(R)[:, None] // N
+    cb = jnp.arange(R)[None, :] // N
+    same = rb == cb
+    off = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
+    bias_t = jnp.where(same, jnp.tile(bias.astype(jnp.float32), (1, P, P)), 0.0)  # (H,R,R)
+    if nW == 1:
+        groups = jnp.tile(mask.astype(jnp.float32), (1, P, P)) * same  # (1,R,R)
+    else:
+        # group g holds masks [gP ... gP+P-1]; place mask p on diagonal block p
+        G = nW // P
+        m = mask.astype(jnp.float32).reshape(G, P, N, N)
+        eye = jnp.eye(P, dtype=jnp.float32)
+        m4 = eye[None, :, None, :, None] * m[:, :, :, None, :]  # (G,P,N,P,N)
+        groups = m4.reshape(G, R, R) * same
+    return off[None, None] + bias_t[None] + groups[:, None]  # (G,H,R,R)
 
 
 def _attention_pallas(q, k, v, bias, mask, interpret: bool):
@@ -97,25 +104,24 @@ def _attention_pallas(q, k, v, bias, mask, interpret: bool):
     BW, H, N, D = q.shape
     nW = mask.shape[0]
     P = _pack_factor(BW, nW, N)
+    if P == 1 or (BW // P) * H < 256:
+        # packing impossible or grid too small to be worth it — XLA path
+        return _attention_reference(q, k, v, bias, mask)
+    extra = _tiled_extra(bias, mask, P)  # (G, H, R, R)
+    G = extra.shape[0]
+    R = P * N
 
-    qkv_spec = pl.BlockSpec((P, H, N, D), lambda i: (i, 0, 0, 0))
-    bias_spec = pl.BlockSpec((H, N, N), lambda i: (0, 0, 0))
-    if nW == 1:
-        mask = jnp.broadcast_to(mask, (P, N, N))
-        mask_spec = pl.BlockSpec((P, N, N), lambda i: (0, 0, 0))
-    else:
-        # window g*P+p uses mask[(g*P+p) % nW]; with nW % P == 0 the block
-        # of P consecutive masks starts at (g*P) % nW == (g % (nW//P)) * P.
-        mask_spec = pl.BlockSpec((P, N, N), lambda i: (i % (nW // P), 0, 0))
+    qkv_spec = pl.BlockSpec((P, 1, N, D), lambda i, j: (i, j, 0, 0))
+    extra_spec = pl.BlockSpec((1, 1, R, R), lambda i, j: (i % G, j, 0, 0))
 
     return pl.pallas_call(
-        _make_kernel(P, H, N, D),
-        grid=(BW // P,),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        _make_kernel(P, N, D),
+        grid=(BW // P, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, extra_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(q, k, v, bias, mask)
+    )(q, k, v, extra)
 
 
 def _attention_reference(q, k, v, bias, mask):
