@@ -316,18 +316,16 @@ class WindowAttention3D(nn.Module):
         from extdm_tpu.ops import pallas_attn
 
         if pallas_attn.enabled():
-            # fused scores+bias+mask+softmax+AV in VMEM (one program per
-            # window x head); q is pre-scaled and rotary-rotated above.
-            out = pallas_attn.fused_window_attention(
-                q, k, v, bias_hnn.astype(q.dtype),
-                None if mask is None else mask.astype(q.dtype),
-            )
+            # fused scores+bias+mask+softmax+AV in VMEM (P windows x head
+            # per program); q is pre-scaled and rotary-rotated above.
+            out = pallas_attn.fused_window_attention(q, k, v, bias_hnn, mask)
         else:
             attn = jnp.einsum("bhid,bhjd->bhij", q, k)
             attn = attn + bias_hnn[None]
             if mask is not None:
                 nW = mask.shape[0]
-                attn = attn.reshape(Bn // nW, nW, self.heads, N, N) + mask[None, :, None]
+                mask_j = jnp.asarray(mask, attn.dtype)
+                attn = attn.reshape(Bn // nW, nW, self.heads, N, N) + mask_j[None, :, None]
                 attn = attn.reshape(Bn, self.heads, N, N)
             attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
@@ -360,7 +358,10 @@ class STWAttentionLayer(nn.Module):
 
         if any(s > 0 for s in shift):
             shifted = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = jnp.asarray(_shifted_window_mask(Dp, Hp, Wp, window, shift))
+            # keep the mask as a numpy constant: under nn.remat, jnp
+            # constants become tracers, but the pallas path needs the host
+            # value for mask deduplication.
+            mask = _shifted_window_mask(Dp, Hp, Wp, window, shift)
         else:
             shifted = x
             mask = None
