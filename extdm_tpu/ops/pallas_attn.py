@@ -29,7 +29,7 @@ import numpy as np
 
 
 def enabled() -> bool:
-    flag = os.environ.get("EXTDM_PALLAS", "1") != "0"
+    flag = os.environ.get("EXTDM_PALLAS", "0") == "1"  # opt-in: XLA path currently faster end-to-end
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover
