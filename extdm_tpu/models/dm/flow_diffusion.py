@@ -268,11 +268,23 @@ class FlowDiffusion:
             flow = flow + self._identity_grid(*flow.shape[2:4])
         return flow
 
-    def denoise_fn(self, unet_variables):
+    def denoise_fn(self, unet_variables, cond_cache=None):
         def fn(x, t, cond_frames, cond_fea):
             return self.unet.apply(unet_variables, x, t, cond_frames, cond_fea,
-                                   path=self.cfg.path)
+                                   path=self.cfg.path, cond_cache=cond_cache)
         return fn
+
+    def cond_cache(self, unet_variables, x_cond, fea):
+        """Precompute the (x, t)-invariant conditioning stream once per
+        sample call instead of once per DDIM step (see Unet3D docnote)."""
+        if fea is None or self.cfg.conditioning == "trajwarp":
+            return None
+        B, tc, h, w, C = x_cond.shape
+        tp = self.cfg.pred_frames
+        x_dummy = jnp.zeros((B, tp, h, w, C), x_cond.dtype)
+        t_dummy = jnp.zeros((B,), jnp.int32)
+        return self.unet.apply(unet_variables, x_dummy, t_dummy, x_cond, fea,
+                               path=self.cfg.path, cond_only=True)
 
     # ---- training loss ---------------------------------------------------------
     def loss(
@@ -345,7 +357,9 @@ class FlowDiffusion:
 
         @jax.jit
         def ddim(uv, key, x_cond, fea):
-            return self.diffusion.sample(self.denoise_fn(uv), key, x_cond, tp, fea)
+            cache = self.cond_cache(uv, x_cond, fea)
+            return self.diffusion.sample(self.denoise_fn(uv, cache), key,
+                                         x_cond, tp, fea)
 
         @jax.jit
         def finalize(lv, cond_video, enc_flow, enc_conf, pred):
@@ -396,8 +410,9 @@ class FlowDiffusion:
                                   method=LFAE.ref_features)
         x_cond = self.latents_from_encode(enc)
 
+        cache = self.cond_cache(unet_variables, x_cond, fea)
         pred = self.diffusion.sample(
-            self.denoise_fn(unet_variables), key, x_cond, tp, fea
+            self.denoise_fn(unet_variables, cache), key, x_cond, tp, fea
         )
         sample_flow = jnp.concatenate([enc["flow"], self.flow_from_pred(pred)], axis=1)
         sample_conf = None

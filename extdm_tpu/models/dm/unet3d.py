@@ -183,7 +183,8 @@ class Unet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, time, cond_frames, cond_fea=None, path: int = 0,
-                 cond=None, null_cond_mask=None):
+                 cond=None, null_cond_mask=None, cond_cache=None,
+                 cond_only: bool = False):
         """x: (B, tp, h, w, C) noisy pred latents; cond_frames: (B, tc, h, w, C);
         cond_fea: (B, tc+tp, hf, wf, cond_feature_dim) LFAE features.
         Returns (B, tp, h, w, out_grid_dim + out_conf_dim)."""
@@ -230,31 +231,51 @@ class Unet3D(nn.Module):
             )(T)
 
         # --- conditioning stream ----------------------------------------------
-        if self.use_ref_features:
-            assert cond_fea is not None
-            fdim = self.cond_feature_dim
-            if self.conditioning == "trajwarp":
+        init_dim = self.init_dim or self.dim
+        if self.use_ref_features and self.conditioning != "trajwarp":
+            # ada variants (..._ada_u22.py:1225-1239). The whole stream is
+            # independent of (x, t): during DDIM sampling it is computed
+            # ONCE (cond_only=True) and re-fed via cond_cache — the
+            # reference recomputes it every denoise step. The init conv is
+            # split by input channels (conv([x, cf]) == conv_x(x) +
+            # conv_cf(cf) + bias), exactly equivalent to the reference's
+            # single 259-channel conv.
+            if cond_cache is None:
+                assert cond_fea is not None
+                fdim = self.cond_feature_dim
+                cf = MotionAdaptor(tc, tp, dtype=self.dtype, name="cond_adaptor")(cond_fea)
+                cf = PreNormTemporalAttn(heads, dim_head, dtype=self.dtype,
+                                         name="cond_temporal_attn")(cf, time_rel_pos_bias)
+                cf2 = cf.reshape((B * T,) + cf.shape[2:])
+                cf2 = interpolate_bilinear(cf2, (H, W))
+                cf2 = cf2.reshape(B, T, H, W, fdim)
+                cond_cache = nn.Conv(
+                    init_dim, (1, k0, k0),
+                    padding=((0, 0), (k0 // 2, k0 // 2), (k0 // 2, k0 // 2)),
+                    use_bias=False, kernel_init=torch_kernel_init,
+                    dtype=self.dtype, name="init_conv_cond",
+                )(cf2)
+            if cond_only:
+                return cond_cache
+            x = Conv3d(init_dim, (1, k0, k0), dtype=self.dtype, name="init_conv")(x)
+            x = x + cond_cache
+        else:
+            if self.use_ref_features:  # trajwarp variants
+                assert cond_fea is not None
+                fdim = self.cond_feature_dim
                 # traj variants (..._traj_u12/u22.py:1029-1031): lift the
                 # latent to feature width, cross-warp cond features toward
                 # the noisy pred stream.
                 x = Conv3d(fdim, (1, k0, k0), dtype=self.dtype, name="init_noise_conv")(x)
                 cond_fea = TrajWarp(tc, tp, heads=heads, dtype=self.dtype,
                                     name="init_traj")(x[:, tc:], cond_fea)
-            else:
-                # ada variants (..._ada_u22.py:1225-1230)
-                cond_fea = MotionAdaptor(tc, tp, dtype=self.dtype, name="cond_adaptor")(cond_fea)
-                cond_fea = PreNormTemporalAttn(heads, dim_head, dtype=self.dtype,
-                                               name="cond_temporal_attn")(cond_fea, time_rel_pos_bias)
-            # upsample features to the latent resolution and concat channels
-            cf = cond_fea.reshape((B * T,) + cond_fea.shape[2:])
-            cf = interpolate_bilinear(cf, (H, W))
-            cf = cf.reshape(B, T, H, W, fdim)
-            x = jnp.concatenate([x, cf], axis=-1)
+                cf = cond_fea.reshape((B * T,) + cond_fea.shape[2:])
+                cf = interpolate_bilinear(cf, (H, W))
+                cf = cf.reshape(B, T, H, W, fdim)
+                x = jnp.concatenate([x, cf], axis=-1)
+            x = Conv3d(init_dim, (1, k0, k0), dtype=self.dtype, name="init_conv")(x)
 
-        # --- init conv + temporal attn -----------------------------------------
-        init_dim = self.init_dim or self.dim
-        k = self.init_kernel_size
-        x = Conv3d(init_dim, (1, k, k), dtype=self.dtype, name="init_conv")(x)
+        # --- init temporal attn -----------------------------------------
         r = x
         x = PreNormTemporalAttn(heads, dim_head, dtype=self.dtype,
                                 name="init_temporal_attn")(x, time_rel_pos_bias)
