@@ -133,10 +133,18 @@ class PreNormSTW(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from extdm_tpu.ops import pallas_stw
+
+        stw = STWAttentionLayer(self.window_size, self.shift_size, self.heads,
+                                self.dim_head, dtype=self.dtype, name="fn")
+        if pallas_stw.enabled():
+            # fused whole-layer pallas path: LN + attention + residual in
+            # one activation pass; the LN child only contributes its scale.
+            ln = ChanLayerNorm(name="norm")
+            _ = ln(x[:, :1, :1, :1])
+            return stw(x, gamma=ln.variables["params"]["gamma"])
         h = ChanLayerNorm(name="norm")(x)
-        h = STWAttentionLayer(self.window_size, self.shift_size, self.heads,
-                              self.dim_head, dtype=self.dtype, name="fn")(h)
-        return x + h
+        return x + stw(h)
 
 
 class PreNormTemporalAttn(nn.Module):
@@ -148,7 +156,32 @@ class PreNormTemporalAttn(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
+        from extdm_tpu.ops import pallas_stw
+
         B, T, H, W, C = x.shape
+        if pallas_stw.enabled():
+            # fused whole-layer pallas path: both norms, the (h w)<->T
+            # transposes, attention and both residuals in one pass.
+            ln = ChanLayerNorm(name="norm")
+            _ = ln(x[:, :1, :1, :1])
+            tal = TemporalAttentionLayer(self.heads, self.dim_head,
+                                         dtype=self.dtype, name="fn")
+            _ = tal(jnp.zeros((1, 1, T, C), x.dtype), pos_bias)
+            p = tal.variables["params"]
+            if pos_bias is None:
+                bias_hnn = jnp.zeros((self.heads, T, T), jnp.float32)
+            elif pos_bias.ndim == 4:  # THW combined: per-query reduction
+                pb = pos_bias.mean(axis=(-2, -1))  # (heads, T)
+                bias_hnn = jnp.broadcast_to(pb[:, :, None],
+                                            (self.heads, T, T))
+            else:
+                bias_hnn = pos_bias
+            return pallas_stw.fused_temporal_layer(
+                x, ln.variables["params"]["gamma"],
+                p["norm"]["scale"], p["norm"]["bias"],
+                p["attn"]["to_qkv"]["kernel"], p["attn"]["to_out"]["kernel"],
+                bias_hnn, heads=self.heads, dim_head=self.dim_head,
+            )
         h = ChanLayerNorm(name="norm")(x)
         h = h.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
         h = TemporalAttentionLayer(self.heads, self.dim_head, dtype=self.dtype,

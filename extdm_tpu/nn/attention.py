@@ -345,9 +345,35 @@ class STWAttentionLayer(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gamma=None):
+        """gamma != None selects the fused whole-layer path: the caller
+        (PreNormSTW) passes its ChanLayerNorm scale and this returns
+        x + attn(LN(x)) in one pallas pass (ops/pallas_stw.py)."""
         B, D, H, W, C = x.shape
         window, shift = get_window_size((D, H, W), self.window_size, self.shift_size)
+
+        if gamma is not None:
+            from extdm_tpu.ops import pallas_stw
+
+            attn_mod = WindowAttention3D(
+                table_window=tuple(self.window_size), heads=self.heads,
+                dim_head=self.dim_head, rotary=self.rotary, dtype=self.dtype,
+                name="attn",
+            )
+            N = window[0] * window[1] * window[2]
+            # materialize the child's params (result is dead code — DCE'd)
+            _ = attn_mod(jnp.zeros((1, N, C), x.dtype), window, None)
+            p = attn_mod.variables["params"]
+            rel_idx = _relative_position_index(tuple(self.window_size))[:N, :N]
+            table = p["relative_position_bias_table"]
+            bias = jnp.take(table, jnp.asarray(rel_idx.reshape(-1)), axis=0)
+            bias_hnn = jnp.transpose(bias.reshape(N, N, self.heads), (2, 0, 1))
+            return pallas_stw.fused_stw_layer(
+                x, gamma, p["qkv"]["kernel"],
+                p["proj"]["Dense_0"]["kernel"], p["proj"]["Dense_0"]["bias"],
+                bias_hnn, window=window, shift=shift, heads=self.heads,
+                dim_head=self.dim_head, rotary=self.rotary,
+            )
 
         pad_d = (window[0] - D % window[0]) % window[0]
         pad_h = (window[1] - H % window[1]) % window[1]

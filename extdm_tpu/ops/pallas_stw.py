@@ -1,0 +1,679 @@
+"""Pallas TPU mega-kernel: one fused pass for a whole PreNormSTW layer.
+
+The UNet's shifted-window attention layers are HBM-bound: the XLA path
+makes ~8 full-activation passes per layer (ChanLayerNorm, qkv projection,
+window partition copy, attention, window reverse copy, output projection,
+residual add). This kernel does the entire layer
+
+    x + proj(window_attn(rotary(qkv(layernorm(x)))))
+
+in ONE read + ONE write of the activation. Window partitioning costs
+nothing: the BlockSpec hands each program a (wd*kt, wh, Wp, C) slab whose
+windows are regrouped in VMEM; weights / rotary tables / position bias /
+deduplicated shift masks are VMEM residents (constant index_map => fetched
+once). Shift handling (jnp.roll) and edge padding stay in XLA — two cheap
+fusions — because rolled windows wrap block boundaries.
+
+Autodiff: custom_vjp, XLA-recompute backward (`stw_layer_reference`), so
+training works and `nn.remat` composes. Parity: tests/test_pallas_stw.py
+(interpret mode on CPU vs the module path).
+
+Reference semantics: /root/reference/model/BaseDM_adaptor/
+DenoiseNet_STWAtt_w_w_ref_adaptor_cross_multi_traj_ada_u22.py:621-682
+(STWAttentionLayer) and :531-619 (WindowAttention3D).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from extdm_tpu.nn import attention as attn_lib
+
+
+def enabled() -> bool:
+    """Fused layer is the default on TPU; EXTDM_PALLAS_STW=0 disables."""
+    if os.environ.get("EXTDM_PALLAS_STW", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------- reference
+def rotary_tables(n: int, rot_dim: int) -> Tuple[np.ndarray, np.ndarray]:
+    inv_freq = 1.0 / (10000 ** (np.arange(0, rot_dim, 2) / rot_dim))
+    freqs = np.einsum("i,j->ij", np.arange(n), inv_freq)
+    freqs = np.repeat(freqs, 2, axis=-1)
+    return np.cos(freqs).astype(np.float32), np.sin(freqs).astype(np.float32)
+
+
+def _rotate_half(x):
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def stw_layer_reference(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
+                        mask_ids, *, window, shift, heads, dim_head, rotary,
+                        eps=1e-5):
+    """Pure-jnp whole layer (backward recompute + CPU fallback + parity).
+
+    x: (B, T, H, W, C) unpadded/unrolled. Returns x + attn_out. Numerics
+    mirror the module path (nn/attention.py): qkv/proj matmuls in x.dtype,
+    softmax in float32.
+    """
+    B, T, H, W, C = x.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    dtype = x.dtype
+
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    h = ((x32 - mean) * jax.lax.rsqrt(var + eps) * gamma).astype(dtype)
+
+    pad_d = (wd - T % wd) % wd
+    pad_h = (wh - H % wh) % wh
+    pad_w = (ww - W % ww) % ww
+    if pad_d or pad_h or pad_w:
+        h = jnp.pad(h, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+    if any(s > 0 for s in shift):
+        h = jnp.roll(h, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+    _, Tp, Hp, Wp, _ = h.shape
+
+    windows = attn_lib.window_partition(h, window)  # (B*nW, N, C)
+    qkv = windows @ w_qkv.astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    Bn = q.shape[0]
+
+    def heads_split(a):
+        return a.reshape(Bn, N, heads, dim_head).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    q = q * (dim_head ** -0.5)
+    if rotary:
+        rot = min(32, dim_head)
+        cos, sin = rotary_tables(N, rot)
+        cos, sin = jnp.asarray(cos, dtype), jnp.asarray(sin, dtype)
+
+        def rope(a):
+            a_r, a_p = a[..., :rot], a[..., rot:]
+            a_r = a_r * cos + _rotate_half(a_r) * sin
+            return jnp.concatenate([a_r, a_p], -1) if rot < dim_head else a_r
+
+        q, k = rope(q), rope(k)
+
+    s = jnp.einsum("bhid,bhjd->bhij", q, k)
+    s = s + bias_hnn[None].astype(s.dtype)
+    if masks is not None:
+        add = jnp.take(masks, mask_ids, axis=0)  # (nW, N, N)
+        nW = add.shape[0]
+        s = s.reshape(Bn // nW, nW, heads, N, N) + add[None, :, None].astype(s.dtype)
+        s = s.reshape(Bn, heads, N, N)
+    s = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(s.dtype)
+    o = jnp.einsum("bhij,bhjd->bhid", s, v)
+    o = o.transpose(0, 2, 1, 3).reshape(Bn, N, heads * dim_head)
+    o = o.astype(dtype) @ w_proj.astype(dtype) + b_proj.astype(dtype)
+
+    out = attn_lib.window_reverse(o, window, B, Tp, Hp, Wp)
+    if any(sh > 0 for sh in shift):
+        out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+    out = out[:, :T, :H, :W]
+    return (x32 + out.astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------- kernel
+def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int) -> int:
+    """T-window rows per program: target 256-1024 tokens, bounded VMEM."""
+    best = 1
+    for kt in range(1, n_tw + 1):
+        if n_tw % kt:
+            continue
+        tokens = kt * wd * wh_rows * wp
+        if tokens <= 512 and tokens * c * 4 <= 2 * 1024 * 1024:
+            best = kt
+    return best
+
+
+def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
+                 heads: int, dim_head: int, M: int, n_hw: int, n_ww: int,
+                 rot: int, eps: float):
+    N = wd * wh * ww
+    nww = Wp // ww
+    W8 = KT * nww  # windows per program
+    hidden = heads * dim_head
+    f32 = jnp.float32
+
+    def kernel(ids_ref, x_ref, gamma_ref, wqkv_ref, wproj_ref, bproj_ref,
+               bias_ref, cos_ref, sin_ref, mask_ref, o_ref):
+        # NOTE on Mosaic layout limits: the lane (minor) dim must never be
+        # reshaped. q/k/v and heads are extracted with lane *slices*; the
+        # rotary tables are pre-tiled across heads so RoPE runs full-width;
+        # window regrouping only permutes non-lane dims.
+        xb = x_ref[0].astype(f32)  # (KT*wd, wh, Wp, C)
+        # --- channel LayerNorm (gamma only, biased var) ---------------
+        mean = xb.mean(-1, keepdims=True)
+        var = ((xb - mean) ** 2).mean(-1, keepdims=True)
+        h = (xb - mean) * jax.lax.rsqrt(var + eps) * gamma_ref[0].astype(f32)
+        # --- regroup into windows: token order (t, h, w) per window ---
+        h = h.reshape(KT, wd, wh, nww, ww, C)
+        h = h.transpose(0, 3, 1, 2, 4, 5).reshape(W8 * N, C)
+        # --- qkv ------------------------------------------------------
+        qkv = jax.lax.dot_general(
+            h.astype(x_ref.dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (W8*N, 3*hidden)
+        q = qkv[:, :hidden].reshape(W8, N, hidden) * (dim_head ** -0.5)
+        k = qkv[:, hidden:2 * hidden].reshape(W8, N, hidden)
+        v = qkv[:, 2 * hidden:].reshape(W8, N, hidden)
+        # --- rotary (interleaved pairs, head-tiled tables) -------------
+        if rot:
+            cos = cos_ref[:].astype(f32)[None]  # (1, N, hidden) pre-tiled
+            sin = sin_ref[:].astype(f32)[None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, N, hidden), 2)
+            even = (lane % 2) == 0
+
+            def rope(a):
+                # pairs (2i, 2i+1) never straddle head boundaries, so the
+                # lane rolls act within each head's dim_head block; sin is
+                # zeroed on pass-through lanes (rot < dim_head).
+                up = pltpu.roll(a, hidden - 1, axis=2)  # x[2i+1] -> lane 2i
+                down = pltpu.roll(a, 1, axis=2)         # x[2i] -> lane 2i+1
+                half = jnp.where(even, -up, down)
+                return a * cos + half * sin
+
+            q, k = rope(q), rope(k)
+        # --- per-program shift-mask rows -------------------------------
+        if M:
+            it = pl.program_id(1)
+            ih = pl.program_id(2)
+            adds = []
+            for w8 in range(W8):
+                a, w = divmod(w8, nww)
+                idx = ((it * KT + a) * n_hw + ih) * n_ww + w
+                adds.append(mask_ref[ids_ref[idx]][None])
+            mask_add = jnp.concatenate(adds, axis=0)  # (W8, N, N)
+        # --- attention, one head at a time (lane slices) ---------------
+        outs = []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            s = jax.lax.dot_general(
+                q[:, :, sl], k[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # (W8, N, N)
+            s = s + bias_ref[hd].astype(f32)[None]
+            if M:
+                s = s + mask_add
+            s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            s = e / e.sum(axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                s, v[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))  # (W8, N, dim_head)
+        o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
+        # --- output projection + residual -------------------------------
+        o = jax.lax.dot_general(
+            o.astype(x_ref.dtype), wproj_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bproj_ref[0].astype(f32)
+        # --- back to slab layout ---------------------------------------
+        o = o.reshape(KT, nww, wd, wh, ww, C)
+        o = o.transpose(0, 2, 3, 1, 4, 5).reshape(KT * wd, wh, Wp, C)
+        o_ref[0] = (o + xb).astype(o_ref.dtype)
+
+    return kernel
+
+
+# imports deferred so CPU-only envs never touch pallas at module import
+pl = None
+pltpu = None
+
+
+def _ensure_pallas():
+    global pl, pltpu
+    if pl is None:
+        from jax.experimental import pallas as _pl
+        from jax.experimental.pallas import tpu as _pltpu
+
+        globals()["pl"] = _pl
+        globals()["pltpu"] = _pltpu
+
+
+def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
+                  masks, mask_ids, *, window, heads, dim_head, rot, eps,
+                  interpret):
+    """Kernel launch on the padded+rolled tensor x: (B, Tp, Hp, Wp, C)."""
+    _ensure_pallas()
+    B, Tp, Hp, Wp, C = x.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
+    KT = _pick_kt(n_tw, wh, wd, Wp, C)
+    M = 0 if masks is None else masks.shape[0]
+
+    x_spec = pl.BlockSpec((1, KT * wd, wh, Wp, C),
+                          lambda b, it, ih, *_: (b, it, ih, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape,
+                                       lambda b, it, ih, *_: tuple(0 for _ in shape))
+    hidden = heads * dim_head
+
+    if M == 0:
+        masks_in = jnp.zeros((1, N, N), jnp.float32)
+        ids_in = jnp.zeros((n_tw * n_hw * n_ww,), jnp.int32)
+        m_shape = (1, N, N)
+    else:
+        masks_in = masks.astype(jnp.float32)
+        ids_in = mask_ids.astype(jnp.int32)
+        m_shape = (M, N, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tw // KT, n_hw),
+        in_specs=[
+            x_spec,
+            const((1, C)),              # gamma
+            const((C, 3 * hidden)),     # w_qkv
+            const((hidden, C)),         # w_proj
+            const((1, C)),              # b_proj
+            const((heads, N, N)),       # bias
+            const((N, hidden)),         # cos (head-tiled)
+            const((N, hidden)),         # sin (head-tiled)
+            const(m_shape),             # masks
+        ],
+        out_specs=x_spec,
+    )
+    kernel = _make_kernel(KT, wd, wh, ww, Wp, C, heads, dim_head,
+                          M, n_hw, n_ww, rot, eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(ids_in, x, gamma.reshape(1, C).astype(x.dtype),
+      w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
+      b_proj.reshape(1, C).astype(jnp.float32),
+      bias_hnn.astype(jnp.float32), cos, sin, masks_in)
+
+
+def _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
+                window, shift, heads, dim_head, rotary, eps, interpret):
+    B, T, H, W, C = x.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    rot = min(32, dim_head) if rotary else 0
+    # head-tiled full-width tables: pass-through lanes get cos=1, sin=0
+    hidden = heads * dim_head
+    cos_np = np.ones((N, hidden), np.float32)
+    sin_np = np.zeros((N, hidden), np.float32)
+    if rot:
+        c, s = rotary_tables(N, rot)
+        for hd in range(heads):
+            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
+            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
+
+    pad_d = (wd - T % wd) % wd
+    pad_h = (wh - H % wh) % wh
+    pad_w = (ww - W % ww) % ww
+    xp = x
+    if pad_d or pad_h or pad_w:
+        xp = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+    shifted = any(s > 0 for s in shift)
+    if shifted:
+        xp = jnp.roll(xp, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+    out = _fused_padded(
+        xp, gamma, w_qkv, w_proj, b_proj, bias_hnn,
+        jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype),
+        masks, mask_ids, window=window, heads=heads, dim_head=dim_head,
+        rot=rot, eps=eps, interpret=interpret,
+    )
+    if shifted:
+        out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+    if pad_d or pad_h or pad_w:
+        # pad tokens carry (pad + attn) values; crop them away. The
+        # residual base inside the kernel is the rolled tensor, whose
+        # roll-back restores original positions, so cropping yields
+        # exactly x + unroll(attn).
+        out = out[:, :T, :H, :W]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def _fused_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
+                 window, shift, heads, dim_head, rotary, eps, interpret):
+    return _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
+                       mask_ids, window, shift, heads, dim_head, rotary,
+                       eps, interpret)
+
+
+def _fused_layer_fwd(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
+                     mask_ids, window, shift, heads, dim_head, rotary, eps,
+                     interpret):
+    out = _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
+                      mask_ids, window, shift, heads, dim_head, rotary,
+                      eps, interpret)
+    return out, (x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids)
+
+
+def _fused_layer_bwd(window, shift, heads, dim_head, rotary, eps, interpret,
+                     res, g):
+    x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids = res
+
+    def ref(x, gamma, w_qkv, w_proj, b_proj, bias_hnn):
+        return stw_layer_reference(
+            x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
+            window=window, shift=shift, heads=heads, dim_head=dim_head,
+            rotary=rotary, eps=eps,
+        )
+
+    _, vjp = jax.vjp(ref, x, gamma, w_qkv, w_proj, b_proj, bias_hnn)
+    dx, dgamma, dwqkv, dwproj, dbproj, dbias = vjp(g)
+    return dx, dgamma, dwqkv, dwproj, dbproj, dbias, None, None
+
+
+_fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_stw_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, *, window,
+                    shift, heads, dim_head, rotary=True, eps=1e-5,
+                    interpret=False):
+    """Whole PreNormSTW layer: x + proj(attn(rope(qkv(LN(x))))).
+
+    x: (B, T, H, W, C). gamma: (C,) ChanLayerNorm scale. w_qkv: (C, 3*h*d).
+    w_proj: (h*d, C), b_proj: (C,). bias_hnn: (heads, N, N) relative
+    position bias for the (possibly clamped) call window. The Swin shift
+    mask is computed here (trace-time numpy, deduplicated).
+    """
+    B, T, H, W, C = x.shape
+    wd, wh, ww = window
+    Tp, Hp, Wp = (-(-T // wd)) * wd, (-(-H // wh)) * wh, (-(-W // ww)) * ww
+    if any(s > 0 for s in shift):
+        mask_np = attn_lib._shifted_window_mask(Tp, Hp, Wp, tuple(window),
+                                                tuple(shift))
+        flat = mask_np.reshape(mask_np.shape[0], -1)
+        uniq, ids = np.unique(flat, axis=0, return_inverse=True)
+        masks = jnp.asarray(uniq.reshape(-1, mask_np.shape[1], mask_np.shape[2]))
+        mask_ids = jnp.asarray(ids.astype(np.int32))
+    else:
+        masks, mask_ids = None, None
+    return _fused_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
+                        mask_ids, tuple(window), tuple(shift), heads,
+                        dim_head, rotary, eps, interpret)
+
+
+# ===================================================================
+# Fused temporal-attention layer (PreNormTemporalAttn, unet3d.py)
+# ===================================================================
+def temporal_layer_reference(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                             bias_hnn, *, heads, dim_head, rotary, eps=1e-5):
+    """Pure-jnp whole layer: x + CLN(x) contribution + temporal attention.
+
+    Computes out = x + undo_T(h + attn(LN(h))) with h = T(ChanLN(x)) and
+    T = (B,T,H,W,C)->(B,HW,T,C) — exactly PreNormTemporalAttn +
+    TemporalAttentionLayer (models/dm/unet3d.py / nn/attention.py), ref
+    DenoiseNet_..._ada_u22.py:328-450. bias_hnn: (heads, T, T) additive
+    (4-D THW biases are reduced to this form by the caller).
+    """
+    B, T, H, W, C = x.shape
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    a = ((x32 - mean) * jax.lax.rsqrt(var + eps) * gamma_cln).astype(dtype)
+
+    h = a.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
+    h32 = h.astype(jnp.float32)
+    mean2 = h32.mean(-1, keepdims=True)
+    var2 = h32.var(-1, keepdims=True)
+    hn = ((h32 - mean2) * jax.lax.rsqrt(var2 + eps) * ln_scale + ln_bias).astype(dtype)
+
+    qkv = hn @ w_qkv.astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    M = H * W
+
+    def heads_split(z):
+        return z.reshape(B, M, T, heads, dim_head).transpose(0, 1, 3, 2, 4)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    q = q * (dim_head ** -0.5)
+    if rotary:
+        rot = min(32, dim_head)
+        cos, sin = rotary_tables(T, rot)
+        cos, sin = jnp.asarray(cos, dtype), jnp.asarray(sin, dtype)
+
+        def rope(z):
+            z_r, z_p = z[..., :rot], z[..., rot:]
+            z_r = z_r * cos + _rotate_half(z_r) * sin
+            return jnp.concatenate([z_r, z_p], -1) if rot < dim_head else z_r
+
+        q, k = rope(q), rope(k)
+    s = jnp.einsum("bmhid,bmhjd->bmhij", q, k)
+    s = s + bias_hnn[None, None].astype(s.dtype)
+    s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+    s = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(s.dtype)
+    o = jnp.einsum("bmhij,bmhjd->bmhid", s, v)
+    o = o.transpose(0, 1, 3, 2, 4).reshape(B, M, T, heads * dim_head)
+    o = o.astype(dtype) @ w_proj.astype(dtype)
+    attn = (h32 + o.astype(jnp.float32)).reshape(B, H, W, T, C)
+    attn = attn.transpose(0, 3, 1, 2, 4)
+    return (x32 + attn).astype(dtype)
+
+
+def _pick_seq_pack(P: int, T: int):
+    """(G sequences per score block, padded length Tp): short-T sequences
+    are packed into one ~64-row block-diagonal score matrix so the MXU
+    sees 64x64 matmuls instead of G x (T x T) ones (measured ~2x)."""
+    Tp = -(-T // 8) * 8
+    for g in (8, 4, 2):
+        if P % g == 0 and g * Tp <= 64:
+            return g, Tp
+    for g in (4, 2):
+        if P % g == 0 and g * Tp <= 128:
+            return g, Tp
+    return 1, T
+
+
+def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
+                          dim_head: int, rot: int, eps: float, G: int,
+                          Tp: int):
+    P = HR * Wd
+    hidden = heads * dim_head
+    R = G * Tp
+    f32 = jnp.float32
+
+    def kernel(x_ref, gcln_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
+               bias_ref, cos_ref, sin_ref, o_ref):
+        xb = x_ref[0].astype(f32)  # (T, HR, Wd, C)
+        mean = xb.mean(-1, keepdims=True)
+        var = ((xb - mean) ** 2).mean(-1, keepdims=True)
+        a = (xb - mean) * jax.lax.rsqrt(var + eps) * gcln_ref[0].astype(f32)
+        # (T, HR, Wd, C) -> (P, T, C): sequences along T per spatial position
+        h = a.transpose(1, 2, 0, 3).reshape(P, T, C)
+        mean2 = h.mean(-1, keepdims=True)
+        var2 = ((h - mean2) ** 2).mean(-1, keepdims=True)
+        hn = (h - mean2) * jax.lax.rsqrt(var2 + eps) * lns_ref[0].astype(f32) \
+            + lnb_ref[0].astype(f32)
+        qkv = jax.lax.dot_general(
+            hn.reshape(P * T, C).astype(x_ref.dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        q = qkv[:, :hidden].reshape(P, T, hidden) * (dim_head ** -0.5)
+        k = qkv[:, hidden:2 * hidden].reshape(P, T, hidden)
+        v = qkv[:, 2 * hidden:].reshape(P, T, hidden)
+        if rot:
+            cos = cos_ref[:].astype(f32)[None]
+            sin = sin_ref[:].astype(f32)[None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, T, hidden), 2)
+            even = (lane % 2) == 0
+
+            def rope(z):
+                up = pltpu.roll(z, hidden - 1, axis=2)
+                down = pltpu.roll(z, 1, axis=2)
+                return z * cos + jnp.where(even, -up, down) * sin
+
+            q, k = rope(q), rope(k)
+        if G > 1:
+            # block-diagonal sequence packing: G sequences share one
+            # (R, R) score matrix; bias_ref is pre-tiled with -1e9 on
+            # the off-diagonal / pad-key entries.
+            pad = Tp - T
+            q = jnp.pad(q, ((0, 0), (0, pad), (0, 0))).reshape(P // G, R, hidden)
+            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0))).reshape(P // G, R, hidden)
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0))).reshape(P // G, R, hidden)
+        outs = []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            s = jax.lax.dot_general(
+                q[:, :, sl], k[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # (P/G, R, R) or (P, T, T)
+            s = s + bias_ref[hd].astype(f32)[None]
+            s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            s = e / e.sum(axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                s, v[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+        o = jnp.concatenate(outs, axis=-1)
+        if G > 1:
+            o = o.reshape(P, Tp, hidden)[:, :T]
+        o = o.reshape(P * T, hidden)
+        o = jax.lax.dot_general(
+            o.astype(x_ref.dtype), wproj_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        o = o.reshape(P, T, C) + h  # inner residual (TemporalAttentionLayer)
+        o = o.reshape(HR, Wd, T, C).transpose(2, 0, 1, 3)
+        o_ref[0] = (o + xb).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pick_hr(Hp: int, Wd: int, T: int, c: int) -> int:
+    best = 1
+    for hr in range(1, Hp + 1):
+        if Hp % hr:
+            continue
+        tokens = hr * Wd * T
+        if tokens <= 1024 and tokens * c * 4 <= 2 * 1024 * 1024:
+            best = hr
+    return best
+
+
+def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
+                   heads, dim_head, rotary, eps, interpret):
+    _ensure_pallas()
+    B, T, H, W, C = x.shape
+    hidden = heads * dim_head
+    rot = min(32, dim_head) if rotary else 0
+    cos_np = np.ones((T, hidden), np.float32)
+    sin_np = np.zeros((T, hidden), np.float32)
+    if rot:
+        c, s = rotary_tables(T, rot)
+        for hd in range(heads):
+            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
+            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
+    HR = _pick_hr(H, W, T, C)
+    G, Tp = _pick_seq_pack(HR * W, T)
+    if G > 1:
+        # pre-tile the bias block-diagonally with -1e9 off-diagonal and on
+        # pad-key columns; pad-query rows are sliced away in the kernel.
+        R = G * Tp
+        bias_pad = jnp.pad(bias_hnn.astype(jnp.float32),
+                           ((0, 0), (0, Tp - T), (0, Tp - T)))
+        tiled = jnp.einsum("ab,hij->haibj", jnp.eye(G, dtype=jnp.float32),
+                           bias_pad).reshape(heads, R, R)
+        rb = np.arange(R)[:, None] // Tp
+        cb = np.arange(R)[None, :] // Tp
+        cpos = np.arange(R)[None, :] % Tp
+        neg = np.where((rb != cb) | (cpos >= T), -1e9, 0.0).astype(np.float32)
+        bias_in = tiled + jnp.asarray(neg)[None]
+        NB = R
+    else:
+        bias_in = bias_hnn.astype(jnp.float32)
+        NB = T
+
+    x_spec = pl.BlockSpec((1, T, HR, W, C), lambda b, ih: (b, 0, ih, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda b, ih: tuple(0 for _ in shape))
+    grid_spec = pl.GridSpec(
+        grid=(B, H // HR),
+        in_specs=[
+            x_spec,
+            const((1, C)),            # cln gamma
+            const((1, C)),            # ln scale
+            const((1, C)),            # ln bias
+            const((C, 3 * hidden)),   # w_qkv
+            const((hidden, C)),       # w_proj
+            const((heads, NB, NB)),   # bias (pre-tiled when packed)
+            const((T, hidden)),       # cos
+            const((T, hidden)),       # sin
+        ],
+        out_specs=x_spec,
+    )
+    kernel = _make_temporal_kernel(T, HR, W, C, heads, dim_head, rot, eps,
+                                   G, Tp)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, gamma_cln.reshape(1, C).astype(x.dtype),
+      ln_scale.reshape(1, C).astype(jnp.float32),
+      ln_bias.reshape(1, C).astype(jnp.float32),
+      w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
+      bias_in,
+      jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _fused_temporal(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
+                    heads, dim_head, rotary, eps, interpret):
+    return _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                          bias_hnn, heads, dim_head, rotary, eps, interpret)
+
+
+def _fused_temporal_fwd(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                        bias_hnn, heads, dim_head, rotary, eps, interpret):
+    out = _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                         bias_hnn, heads, dim_head, rotary, eps, interpret)
+    return out, (x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn)
+
+
+def _fused_temporal_bwd(heads, dim_head, rotary, eps, interpret, res, g):
+    def ref(*args):
+        return temporal_layer_reference(*args, heads=heads, dim_head=dim_head,
+                                        rotary=rotary, eps=eps)
+
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+_fused_temporal.defvjp(_fused_temporal_fwd, _fused_temporal_bwd)
+
+
+def fused_temporal_layer(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                         bias_hnn, *, heads, dim_head, rotary=True, eps=1e-5,
+                         interpret=False):
+    """Whole PreNormTemporalAttn layer in one pallas pass.
+
+    x: (B, T, H, W, C); bias_hnn: (heads, T, T) — pass the reduced form
+    for 4-D THW biases (mean over the last two axes, broadcast over keys,
+    matching TemporalAttention's handling).
+    """
+    return _fused_temporal(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                           bias_hnn, heads, dim_head, rotary, eps, interpret)

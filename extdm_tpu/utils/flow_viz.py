@@ -84,3 +84,43 @@ def conf2fig(conf: np.ndarray) -> np.ndarray:
     if c.ndim == 3:
         c = c[..., 0]
     return (np.clip(c, 0, 1) * 255).astype(np.uint8)
+
+
+def _draw_line(img: np.ndarray, y0: float, x0: float, y1: float, x1: float,
+               value: float = 0.0) -> None:
+    """Rasterize one line segment in-place on a float grayscale image."""
+    n = int(max(abs(y1 - y0), abs(x1 - x0), 1)) * 2 + 1
+    ys = np.linspace(y0, y1, n)
+    xs = np.linspace(x0, x1, n)
+    h, w = img.shape
+    ok = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    img[np.round(ys[ok]).astype(int), np.round(xs[ok]).astype(int)] = value
+
+
+def grid2fig(warped_grid: np.ndarray, grid_size: int = 32,
+             img_size: int = 256) -> np.ndarray:
+    """Warped coordinate grid (h, w, 2) in [-1, 1] -> line-mesh image.
+
+    Equivalent of the reference's matplotlib LineCollection render
+    (utils/misc.py:43-62, vis/test_flowae_run_groundtruth.py:48-77):
+    black grid lines of the backward-warp lattice on white, (img_size,
+    img_size, 3) uint8. Rasterized in numpy (no matplotlib dependency).
+    """
+    g = np.asarray(warped_grid, np.float64)
+    if g.shape[0] != grid_size or g.shape[1] != grid_size:
+        # subsample the lattice to grid_size points per side
+        ys = np.linspace(0, g.shape[0] - 1, grid_size).round().astype(int)
+        xs = np.linspace(0, g.shape[1] - 1, grid_size).round().astype(int)
+        g = g[np.ix_(ys, xs)]
+    # normalize to pixel coordinates with a small margin
+    px = (g[..., 0] + 1.0) / 2.0 * (img_size - 1)
+    py = (g[..., 1] + 1.0) / 2.0 * (img_size - 1)
+    img = np.ones((img_size, img_size), np.float32)
+    for i in range(grid_size):
+        for j in range(grid_size):
+            if j + 1 < grid_size:
+                _draw_line(img, py[i, j], px[i, j], py[i, j + 1], px[i, j + 1])
+            if i + 1 < grid_size:
+                _draw_line(img, py[i, j], px[i, j], py[i + 1, j], px[i + 1, j])
+    out = (img * 255).astype(np.uint8)
+    return np.stack([out] * 3, axis=-1)

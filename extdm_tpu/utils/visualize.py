@@ -93,6 +93,59 @@ def lfae_visualize(
     save_image(path_prefix + "_grid.png", comparison_grid(rows, max_frames))
 
 
+def visualize_ori_pre_flow_diff(
+    save_path: str,
+    origin: np.ndarray,
+    result: np.ndarray,
+    origin_flow: np.ndarray,
+    result_flow: np.ndarray,
+    video_diff: Optional[np.ndarray] = None,
+    flow_diff: Optional[np.ndarray] = None,
+    epoch_or_step_num: int = 0,
+    cond_frame_num: int = 10,
+    fps: int = 2,
+) -> List[str]:
+    """GT-vs-prediction analysis gifs (ref utils/visualize.py:245-281).
+
+    All inputs are (B, T, H, W, 3) float in [0, 1]. Per video, each frame is
+    a 2x3 tile [[origin, result, video_diff], [origin_flow, result_flow,
+    flow_diff]] with blue cond / orange pred borders; one gif per video
+    named ``{i:03}_psnr{value}.gif``. The diff rows default to the rms
+    channel difference (as vis/save_new.py:27-28 computes them).
+    """
+    if video_diff is None:
+        video_diff = np.sqrt(((origin - result) ** 2).mean(-1))[..., None].repeat(3, -1)
+    if flow_diff is None:
+        flow_diff = np.sqrt(((origin_flow - result_flow) ** 2).mean(-1))[..., None].repeat(3, -1)
+    mse = ((origin[:, cond_frame_num:] - result[:, cond_frame_num:]) ** 2).mean(
+        axis=(1, 2, 3, 4)
+    )
+    psnr = 10 * np.log10(1.0 / np.maximum(mse, 1e-12))
+
+    out_dir = os.path.join(save_path, str(epoch_or_step_num), "gif_grid")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(origin.shape[0]):
+        frames = []
+        for t in range(origin.shape[1]):
+            top = np.concatenate(
+                [to_uint8(origin[i, t]), to_uint8(result[i, t]), to_uint8(video_diff[i, t])],
+                axis=1,
+            )
+            bot = np.concatenate(
+                [to_uint8(origin_flow[i, t]), to_uint8(result_flow[i, t]),
+                 to_uint8(flow_diff[i, t])],
+                axis=1,
+            )
+            tile = np.concatenate([top, bot], axis=0)
+            color = COND_COLOR if t < cond_frame_num else PRED_COLOR
+            frames.append(add_border(tile, color))
+        path = os.path.join(out_dir, f"{i:03d}_psnr{psnr[i]:.3f}.gif")
+        save_gif(path, frames, fps)
+        paths.append(path)
+    return paths
+
+
 def _disk_mask(h: int, w: int, cy: float, cx: float, radius: float):
     ys, xs = np.ogrid[:h, :w]
     return (ys - cy) ** 2 + (xs - cx) ** 2 <= radius**2

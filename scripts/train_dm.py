@@ -54,6 +54,33 @@ def load_lfae_variables(fd, path: str, key):
     return lfae_vars, unet_vars
 
 
+def load_lfae_variables_for_lfae(lfae, path: str, key, num_frames: int,
+                                 frame_shape: int, tc: int):
+    """Init + load a standalone LFAE module (valid_ae/video2video CLIs)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    video0 = _jnp.zeros((1, num_frames, frame_shape, frame_shape, 3))
+    variables = _jax.jit(lfae.init, static_argnums=(2,))(key, video0, tc)
+    if not path:
+        print("WARNING: no --flowae_checkpoint; using random LFAE (smoke mode)")
+        return variables
+    from extdm_tpu.train import load_checkpoint, restore_like
+
+    ckpt = load_checkpoint(path)
+    keys = ("region_predictor", "bg_predictor", "generator")
+    if "state" in ckpt:
+        new = {
+            "params": {k: ckpt["state"]["params"][k] for k in keys},
+            "batch_stats": {k: ckpt["state"]["batch_stats"].get(k, {}) for k in keys},
+        }
+        variables = restore_like(variables, new)
+    else:
+        variables = restore_like(variables, ckpt)
+    print(f"loaded LFAE from {path}")
+    return variables
+
+
 def run_validation(fd, lfae_vars, unet_params, cfg_raw, key, num_videos=16,
                    batch_size=4, extractor=None, lpips_metric=None, seed=1234):
     """Periodic valid (ref scripts/DM/train.py:469-573): sample on held-out

@@ -56,6 +56,9 @@ def main():
     p.add_argument("--dump_flow", action="store_true",
                    help="save GT-vs-predicted flow/conf visualizations "
                         "(ref valid_with_generate_flow_and_conf.py)")
+    p.add_argument("--dump_arrays", action="store_true",
+                   help="save origin/result (+ flows, with --dump_flow) arrays "
+                        "for scripts/analyze_dumps.py (ref origin.pt/result.pt dumps)")
     args = p.parse_args()
 
     from extdm_tpu.config import dm_config_from_yaml, load_config
@@ -106,22 +109,27 @@ def main():
     n_traj = args.num_sample_video
     real_all, sample_all = [], []
     flow_dump = None
+    pred_flows_all = []  # trajectory-0 predicted warp grids per video
     for clips, _ in loader:
         video = np.stack([to_rgb_video(c) for c in clips])  # (B, T, H, W, 3)
         B = video.shape[0]
         # trajectories ride the batch axis
         video_rep = np.repeat(video, n_traj, axis=0)
         cond = video_rep[:, :tc]
-        preds = []
+        preds, pred_grids = [], []
         for r in range(num_autoreg):
             key = jax.random.fold_in(root_key, len(real_all) * 1000 + r)
             out = sample_fn(key, jnp.asarray(cond))
             pred_pixels = np.asarray(out["sample_out_vid"][:, tc:])
             preds.append(pred_pixels)
+            if args.dump_arrays and args.dump_flow:
+                pred_grids.append(np.asarray(out["sample_vid_grid"][::n_traj, tc:]))
             cond = pred_pixels[:, -tc:] if pred_pixels.shape[1] >= tc else np.concatenate(
                 [np.asarray(cond)[:, pred_pixels.shape[1]:], pred_pixels], axis=1
             )
         pred_full = np.concatenate(preds, axis=1)[:, :total_pred]
+        if pred_grids:
+            pred_flows_all.append(np.concatenate(pred_grids, axis=1)[:, :total_pred])
         sample_vid = np.concatenate([video_rep[:, :tc], pred_full], axis=1)
         real_all.append(video)
         sample_all.append(sample_vid)
@@ -190,6 +198,29 @@ def main():
     visualize_comparison_gif(
         os.path.join(args.log_dir, "sample0.gif"), real[0], best[0], tc
     )
+
+    if args.dump_arrays:
+        # analysis dumps for scripts/analyze_dumps.py (ref origin.pt/result.pt)
+        np.save(os.path.join(args.log_dir, "origin.npy"), real)
+        traj0 = samples.reshape(N, n_traj, *samples.shape[1:])[:, 0]
+        np.save(os.path.join(args.log_dir, "result.npy"), traj0)
+        if pred_flows_all:
+            # GT warp grids: LFAE encode of the full real video (one compile)
+            enc_fn = jax.jit(
+                lambda vars_, v: fd.lfae.apply(
+                    vars_, v, tc, False, method=type(fd.lfae).encode_video
+                )
+            )
+            gt_flows = []
+            bs = max(1, args.batch_size)
+            for i in range(0, N, bs):
+                enc = enc_fn(lfae_vars, jnp.asarray(real[i : i + bs]))
+                gt_flows.append(np.asarray(enc["flow"][:, tc:]))
+            np.save(os.path.join(args.log_dir, "origin_flows.npy"),
+                    np.concatenate(gt_flows))
+            np.save(os.path.join(args.log_dir, "result_flows.npy"),
+                    np.concatenate(pred_flows_all))
+        print(f"analysis arrays -> {args.log_dir}")
 
     if args.dump_flow and flow_dump is not None:
         from extdm_tpu.utils.flow_viz import conf2fig, flow2fig

@@ -97,8 +97,33 @@ def test_cli_pipeline(tiny_setup):
     r = run(["scripts/valid_dm.py", "--config", cfg, "--log_dir", vd_dir,
              "--checkpoint", dm_ckpt, "--flowae_checkpoint", ae_ckpt,
              "--num_sample_video", "2", "--total_videos", "2", "--batch_size", "2",
-             "--metrics", "psnr,ssim"])
+             "--metrics", "psnr,ssim", "--dump_arrays", "--dump_flow"])
     assert r.returncode == 0, r.stderr[-3000:]
     metrics = open(os.path.join(vd_dir, "metrics.txt")).read()
     assert "psnr2" in metrics and "ssim2" in metrics
     assert os.path.exists(os.path.join(vd_dir, "sample0.gif"))
+    assert os.path.exists(os.path.join(vd_dir, "origin.npy"))
+    assert os.path.exists(os.path.join(vd_dir, "result_flows.npy"))
+
+    # vis/ layer: post-hoc dump analysis (ref vis/save_new.py + one_by_one)
+    r = run(["scripts/analyze_dumps.py", "--dump_dir", vd_dir,
+             "--cond_frames", "2", "--metrics", "psnr,ssim",
+             "--per_video", "--render", "--max_render", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    analysis = os.path.join(vd_dir, "analysis")
+    mj = json.load(open(os.path.join(analysis, "metrics.json")))
+    assert "psnr" in mj and "ssim" in mj
+    csv = open(os.path.join(analysis, "metrics_per_video.csv")).read().splitlines()
+    assert csv[0] == "id,psnr" and len(csv) == 3
+    gif_dir = os.path.join(analysis, "0", "gif_grid")
+    assert len(os.listdir(gif_dir)) == 2
+
+    # vis/ layer: cross-video motion transfer (ref test_flowae_run_video2video)
+    v2v_dir = os.path.join(root, "v2v")
+    r = run(["scripts/video2video.py", "--config", cfg, "--log_dir", v2v_dir,
+             "--flowae_checkpoint", ae_ckpt, "--appearance_index", "0",
+             "--motion_indices", "1,2", "--num_frames", "4", "--dump_flow"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(v2v_dir, "appearance.gif"))
+    assert os.path.exists(os.path.join(v2v_dir, "transfer_1.gif"))
+    assert os.path.exists(os.path.join(v2v_dir, "flow_2", "grid_t000.png"))
