@@ -295,6 +295,12 @@ class FlowDiffusion:
         video: Array,
     ) -> Tuple[Array, Dict[str, Array]]:
         """video: (B, tc+tp, H, W, C) in [0,1]. Returns (eps-loss, aux)."""
+        from extdm_tpu.ops import pallas_stw
+
+        with pallas_stw.inference_only_scope():
+            return self._loss_impl(lfae_variables, unet_variables, key, video)
+
+    def _loss_impl(self, lfae_variables, unet_variables, key, video):
         cfg = self.cfg
         tc, tp = cfg.cond_frames, cfg.pred_frames
 

@@ -35,14 +35,41 @@ import numpy as np
 from extdm_tpu.nn import attention as attn_lib
 
 
+_TRACE_DISABLED = False
+
+
 def enabled() -> bool:
-    """Fused layer is the default on TPU; EXTDM_PALLAS_STW=0 disables."""
+    """Fused layers are the default on TPU; EXTDM_PALLAS_STW=0 disables.
+
+    Forward/inference only for now: the custom-vjp XLA-recompute backward
+    measured ~3x slower than the plain XLA train step (remat recompute +
+    per-layer reference recompute), so training traces run inside
+    `inference_only_scope` until dedicated backward kernels exist.
+    """
+    if _TRACE_DISABLED:
+        return False
     if os.environ.get("EXTDM_PALLAS_STW", "1") != "1":
         return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def inference_only_scope():
+    """Trace-time gate: code traced inside this scope uses the XLA module
+    path instead of the fused kernels (used by training-loss tracing)."""
+    global _TRACE_DISABLED
+    prev = _TRACE_DISABLED
+    _TRACE_DISABLED = True
+    try:
+        yield
+    finally:
+        _TRACE_DISABLED = prev
 
 
 # ---------------------------------------------------------------- reference
