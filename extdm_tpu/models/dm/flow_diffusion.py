@@ -301,6 +301,10 @@ class FlowDiffusion:
         """video: (B, tc+tp, H, W, C) in [0,1]. Returns (eps-loss, aux)."""
         from extdm_tpu.ops import pallas_stw
 
+        if pallas_stw.backward_kernels_enabled():
+            # fused attention layers train with dedicated pallas backward
+            # kernels (custom_vjp) — forward AND backward are single-pass.
+            return self._loss_impl(lfae_variables, unet_variables, key, video)
         with pallas_stw.inference_only_scope():
             return self._loss_impl(lfae_variables, unet_variables, key, video)
 

@@ -39,13 +39,7 @@ _TRACE_DISABLED = False
 
 
 def enabled() -> bool:
-    """Fused layers are the default on TPU; EXTDM_PALLAS_STW=0 disables.
-
-    Forward/inference only for now: the custom-vjp XLA-recompute backward
-    measured ~3x slower than the plain XLA train step (remat recompute +
-    per-layer reference recompute), so training traces run inside
-    `inference_only_scope` until dedicated backward kernels exist.
-    """
+    """Fused layers are the default on TPU; EXTDM_PALLAS_STW=0 disables."""
     if _TRACE_DISABLED:
         return False
     if os.environ.get("EXTDM_PALLAS_STW", "1") != "1":
@@ -54,6 +48,12 @@ def enabled() -> bool:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+def backward_kernels_enabled() -> bool:
+    """Dedicated pallas backward kernels (default on). EXTDM_PALLAS_BWD=0
+    falls back to the XLA-recompute custom-vjp backward."""
+    return os.environ.get("EXTDM_PALLAS_BWD", "1") == "1"
 
 
 import contextlib
@@ -155,14 +155,15 @@ def stw_layer_reference(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
 
 
 # ---------------------------------------------------------------- kernel
-def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int) -> int:
+def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
+             max_tokens: int = 512) -> int:
     """T-window rows per program: target 256-1024 tokens, bounded VMEM."""
     best = 1
     for kt in range(1, n_tw + 1):
         if n_tw % kt:
             continue
         tokens = kt * wd * wh_rows * wp
-        if tokens <= 512 and tokens * c * 4 <= 2 * 1024 * 1024:
+        if tokens <= max_tokens and tokens * c * 4 <= 2 * 1024 * 1024:
             best = kt
     return best
 
@@ -332,6 +333,308 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
       bias_hnn.astype(jnp.float32), cos, sin, masks_in)
 
 
+# ------------------------------------------------------------- STW backward
+def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
+                         heads: int, dim_head: int, M: int, n_hw: int,
+                         n_ww: int, rot: int, eps: float):
+    """One fused backward pass: reads (x, g) slabs once, recomputes the
+    forward intermediates in VMEM, writes dx and accumulates all weight
+    grads across the sequential TPU grid (revisited const-index outputs)."""
+    N = wd * wh * ww
+    nww = Wp // ww
+    W8 = KT * nww
+    hidden = heads * dim_head
+    f32 = jnp.float32
+
+    def kernel(ids_ref, x_ref, g_ref, gamma_ref, wqkv_ref, wproj_ref,
+               bias_ref, cos_ref, sin_ref, mask_ref,
+               dx_ref, dgamma_ref, dwqkv_ref, dwproj_ref, dbproj_ref,
+               dbias_ref):
+        b = pl.program_id(0)
+        it = pl.program_id(1)
+        ih = pl.program_id(2)
+
+        @pl.when(jnp.logical_and(b == 0, jnp.logical_and(it == 0, ih == 0)))
+        def _init():
+            dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        dtype = x_ref.dtype
+        xb = x_ref[0].astype(f32)   # (KT*wd, wh, Wp, C)
+        gb = g_ref[0].astype(f32)
+        gamma = gamma_ref[0].astype(f32)
+
+        # ---- recompute forward ----------------------------------------
+        mean = xb.mean(-1, keepdims=True)
+        var = ((xb - mean) ** 2).mean(-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (xb - mean) * rstd
+        h_slab = xhat * gamma
+
+        def regroup(a):  # slab -> (W8*N, C); only non-lane dims move
+            a = a.reshape(KT, wd, wh, nww, ww, C)
+            return a.transpose(0, 3, 1, 2, 4, 5).reshape(W8 * N, C)
+
+        def ungroup(a):  # (W8*N, C) -> slab
+            a = a.reshape(KT, nww, wd, wh, ww, C)
+            return a.transpose(0, 2, 3, 1, 4, 5).reshape(KT * wd, wh, Wp, C)
+
+        hw = regroup(h_slab)
+        go = regroup(gb)
+        qkv = jax.lax.dot_general(
+            hw.astype(dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        q0 = qkv[:, :hidden].reshape(W8, N, hidden) * (dim_head ** -0.5)
+        k0 = qkv[:, hidden:2 * hidden].reshape(W8, N, hidden)
+        v = qkv[:, 2 * hidden:].reshape(W8, N, hidden)
+        if rot:
+            cos = cos_ref[:].astype(f32)[None]
+            sin = sin_ref[:].astype(f32)[None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, N, hidden), 2)
+            even = (lane % 2) == 0
+
+            def half(a):
+                up = pltpu.roll(a, hidden - 1, axis=2)
+                down = pltpu.roll(a, 1, axis=2)
+                return jnp.where(even, -up, down)
+
+            q = q0 * cos + half(q0) * sin
+            k = k0 * cos + half(k0) * sin
+        else:
+            q, k = q0, k0
+        if M:
+            adds = []
+            for w8 in range(W8):
+                a, w = divmod(w8, nww)
+                idx = ((it * KT + a) * n_hw + ih) * n_ww + w
+                adds.append(mask_ref[ids_ref[idx]][None])
+            mask_add = jnp.concatenate(adds, axis=0)  # (W8, N, N)
+
+        ps = []
+        outs = []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            s = jax.lax.dot_general(
+                q[:, :, sl], k[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            s = s + bias_ref[hd].astype(f32)[None]
+            if M:
+                s = s + mask_add
+            s = s - s.max(axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / e.sum(axis=-1, keepdims=True)
+            ps.append(p)
+            outs.append(jax.lax.dot_general(
+                p, v[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+        o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
+
+        # ---- backward: output projection ------------------------------
+        dwproj_ref[:] += jax.lax.dot_general(
+            o.astype(dtype), go.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dwproj_ref.dtype)
+        dbproj_ref[0] += go.sum(axis=0).astype(dbproj_ref.dtype)
+        do = jax.lax.dot_general(
+            go.astype(dtype), wproj_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(W8, N, hidden)
+
+        # ---- backward: attention per head ------------------------------
+        dqs, dks, dvs = [], [], []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            p = ps[hd]
+            dO = do[:, :, sl]
+            dP = jax.lax.dot_general(
+                dO, v[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # (W8, N, N)
+            dvs.append(jax.lax.dot_general(
+                p, dO,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))  # (W8, N, dh)
+            dS = p * (dP - (dP * p).sum(axis=-1, keepdims=True))
+            dbias_ref[hd] += dS.sum(axis=0).astype(dbias_ref.dtype)
+            dqs.append(jax.lax.dot_general(
+                dS, k[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+            dks.append(jax.lax.dot_general(
+                dS, q[:, :, sl],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+        dq_r = jnp.concatenate(dqs, axis=-1)  # grads wrt roped q
+        dk_r = jnp.concatenate(dks, axis=-1)
+        dv = jnp.concatenate(dvs, axis=-1)
+        if rot:
+            # rope backward: rh^T = -rh and sin is pair-constant, so
+            # d = dy*cos + rh(dy)*(-sin)
+            dq0 = dq_r * cos + half(dq_r) * (-sin)
+            dk0 = dk_r * cos + half(dk_r) * (-sin)
+        else:
+            dq0, dk0 = dq_r, dk_r
+        dq0 = dq0 * (dim_head ** -0.5)
+        dqkv = jnp.concatenate(
+            [dq0.reshape(W8 * N, hidden), dk0.reshape(W8 * N, hidden),
+             dv.reshape(W8 * N, hidden)], axis=-1)
+
+        # ---- backward: qkv projection ----------------------------------
+        dwqkv_ref[:] += jax.lax.dot_general(
+            hw.astype(dtype), dqkv.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dwqkv_ref.dtype)
+        dh = jax.lax.dot_general(
+            dqkv.astype(dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dh_slab = ungroup(dh)
+
+        # ---- backward: channel LayerNorm --------------------------------
+        dgamma_ref[0] += (dh_slab * xhat).sum(axis=(0, 1, 2)).astype(
+            dgamma_ref.dtype)
+        dxhat = dh_slab * gamma
+        m1 = dxhat.mean(axis=-1, keepdims=True)
+        m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+        dx_ln = rstd * (dxhat - m1 - xhat * m2)
+        dx_ref[0] = (gb + dx_ln).astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
+                    mask_ids, *, window, heads, dim_head, rot, eps,
+                    interpret):
+    """Backward kernel launch on padded+rolled tensors x, g."""
+    _ensure_pallas()
+    B, Tp, Hp, Wp, C = x.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
+    KT = _pick_kt(n_tw, wh, wd, Wp, C, max_tokens=256)
+    M = 0 if masks is None else masks.shape[0]
+    hidden = heads * dim_head
+
+    x_spec = pl.BlockSpec((1, KT * wd, wh, Wp, C),
+                          lambda b, it, ih, *_: (b, it, ih, 0, 0))
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, it, ih, *_: tuple(0 for _ in shape))
+
+    if M == 0:
+        masks_in = jnp.zeros((1, N, N), jnp.float32)
+        ids_in = jnp.zeros((n_tw * n_hw * n_ww,), jnp.int32)
+        m_shape = (1, N, N)
+    else:
+        masks_in = masks.astype(jnp.float32)
+        ids_in = mask_ids.astype(jnp.int32)
+        m_shape = (M, N, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tw // KT, n_hw),
+        in_specs=[
+            x_spec,                     # x
+            x_spec,                     # g
+            const((1, C)),              # gamma
+            const((C, 3 * hidden)),     # w_qkv
+            const((hidden, C)),         # w_proj
+            const((heads, N, N)),       # bias
+            const((N, hidden)),         # cos
+            const((N, hidden)),         # sin
+            const(m_shape),             # masks
+        ],
+        out_specs=[
+            x_spec,                     # dx
+            const((1, C)),              # dgamma
+            const((C, 3 * hidden)),     # dwqkv
+            const((hidden, C)),         # dwproj
+            const((1, C)),              # dbproj
+            const((heads, N, N)),       # dbias
+        ],
+    )
+    kernel = _make_stw_bwd_kernel(KT, wd, wh, ww, Wp, C, heads, dim_head,
+                                  M, n_hw, n_ww, rot, eps)
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, 3 * hidden), f32),
+        jax.ShapeDtypeStruct((hidden, C), f32),
+        jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((heads, N, N), f32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(ids_in, x, g, gamma.reshape(1, C).astype(jnp.float32),
+      w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
+      bias_hnn.astype(jnp.float32), cos, sin, masks_in)
+
+
+def _stw_bwd_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
+                  g, *, window, shift, heads, dim_head, rotary, eps,
+                  interpret):
+    """Pad/roll bookkeeping around the backward kernel (mirrors forward)."""
+    B, T, H, W, C = x.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    rot = min(32, dim_head) if rotary else 0
+    hidden = heads * dim_head
+    cos_np = np.ones((N, hidden), np.float32)
+    sin_np = np.zeros((N, hidden), np.float32)
+    if rot:
+        c, s = rotary_tables(N, rot)
+        for hd in range(heads):
+            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
+            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
+
+    pad_d = (wd - T % wd) % wd
+    pad_h = (wh - H % wh) % wh
+    pad_w = (ww - W % ww) % ww
+    xp, gp = x, g
+    if pad_d or pad_h or pad_w:
+        pads = ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0))
+        xp = jnp.pad(x, pads)
+        gp = jnp.pad(g, pads)
+    shifted = any(s > 0 for s in shift)
+    if shifted:
+        neg = (-shift[0], -shift[1], -shift[2])
+        xp = jnp.roll(xp, shift=neg, axis=(1, 2, 3))
+        gp = jnp.roll(gp, shift=neg, axis=(1, 2, 3))
+    dxp, dgamma, dwqkv, dwproj, dbproj, dbias = _stw_bwd_padded(
+        xp, gp, gamma, w_qkv, w_proj, bias_hnn,
+        jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype),
+        masks, mask_ids, window=window, heads=heads, dim_head=dim_head,
+        rot=rot, eps=eps, interpret=interpret)
+    if shifted:
+        dxp = jnp.roll(dxp, shift=shift, axis=(1, 2, 3))
+    if pad_d or pad_h or pad_w:
+        dxp = dxp[:, :T, :H, :W]
+    return (dxp, dgamma.reshape(C).astype(gamma.dtype),
+            dwqkv.astype(w_qkv.dtype), dwproj.astype(w_proj.dtype),
+            dbproj.reshape(C).astype(b_proj.dtype),
+            dbias.astype(bias_hnn.dtype))
+
+
 def _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
                 window, shift, heads, dim_head, rotary, eps, interpret):
     B, T, H, W, C = x.shape
@@ -394,6 +697,13 @@ def _fused_layer_fwd(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
 def _fused_layer_bwd(window, shift, heads, dim_head, rotary, eps, interpret,
                      res, g):
     x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids = res
+
+    if backward_kernels_enabled():
+        dx, dgamma, dwqkv, dwproj, dbproj, dbias = _stw_bwd_impl(
+            x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids, g,
+            window=window, shift=shift, heads=heads, dim_head=dim_head,
+            rotary=rotary, eps=eps, interpret=interpret)
+        return dx, dgamma, dwqkv, dwproj, dbproj, dbias, None, None
 
     def ref(x, gamma, w_qkv, w_proj, b_proj, bias_hnn):
         return stw_layer_reference(
@@ -591,13 +901,13 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
     return kernel
 
 
-def _pick_hr(Hp: int, Wd: int, T: int, c: int) -> int:
+def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = 1024) -> int:
     best = 1
     for hr in range(1, Hp + 1):
         if Hp % hr:
             continue
         tokens = hr * Wd * T
-        if tokens <= 1024 and tokens * c * 4 <= 2 * 1024 * 1024:
+        if tokens <= max_tokens and tokens * c * 4 <= 2 * 1024 * 1024:
             best = hr
     return best
 
@@ -667,6 +977,310 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
       jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype))
 
 
+# -------------------------------------------------------- temporal backward
+def _pick_hw(H: int, W: int, T: int, c: int, max_tokens: int):
+    """(HR, WR) block for the temporal bwd kernel: prefer whole-W rows,
+    split W when even one H-row exceeds the token budget (the backward
+    holds ~4x the forward's intermediates in VMEM)."""
+    if T * W <= max_tokens:
+        return _pick_hr(H, W, T, c, max_tokens=max_tokens), W
+    wr = 1
+    for cand in range(1, W + 1):
+        if W % cand == 0 and T * cand <= max_tokens:
+            wr = cand
+    return 1, wr
+
+
+def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
+                              dim_head: int, rot: int, eps: float, G: int,
+                              Tp: int):
+    P = HR * Wd
+    hidden = heads * dim_head
+    R = G * Tp
+    f32 = jnp.float32
+
+    def kernel(x_ref, g_ref, gcln_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
+               bias_ref, cos_ref, sin_ref,
+               dx_ref, dgcln_ref, dlns_ref, dlnb_ref, dwqkv_ref, dwproj_ref,
+               dbias_ref):
+        b = pl.program_id(0)
+        ih = pl.program_id(1)
+        iw = pl.program_id(2)
+
+        @pl.when((b == 0) & (ih == 0) & (iw == 0))
+        def _init():
+            dgcln_ref[:] = jnp.zeros_like(dgcln_ref)
+            dlns_ref[:] = jnp.zeros_like(dlns_ref)
+            dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        dtype = x_ref.dtype
+        xb = x_ref[0].astype(f32)  # (T, HR, Wd, C)
+        gb = g_ref[0].astype(f32)
+        gcln = gcln_ref[0].astype(f32)
+        lns = lns_ref[0].astype(f32)
+
+        # ---- recompute forward -----------------------------------------
+        mean = xb.mean(-1, keepdims=True)
+        var = ((xb - mean) ** 2).mean(-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (xb - mean) * rstd
+        a = xhat * gcln
+        h = a.transpose(1, 2, 0, 3).reshape(P, T, C)
+        ga = gb.transpose(1, 2, 0, 3).reshape(P, T, C)
+        mean2 = h.mean(-1, keepdims=True)
+        var2 = ((h - mean2) ** 2).mean(-1, keepdims=True)
+        rstd2 = jax.lax.rsqrt(var2 + eps)
+        hhat = (h - mean2) * rstd2
+        hn = hhat * lns + lnb_ref[0].astype(f32)
+        hn_flat = hn.reshape(P * T, C)
+        qkv = jax.lax.dot_general(
+            hn_flat.astype(dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        q0 = qkv[:, :hidden].reshape(P, T, hidden) * (dim_head ** -0.5)
+        k0 = qkv[:, hidden:2 * hidden].reshape(P, T, hidden)
+        v = qkv[:, 2 * hidden:].reshape(P, T, hidden)
+        if rot:
+            cos = cos_ref[:].astype(f32)[None]
+            sin = sin_ref[:].astype(f32)[None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, T, hidden), 2)
+            even = (lane % 2) == 0
+
+            def half(z):
+                up = pltpu.roll(z, hidden - 1, axis=2)
+                down = pltpu.roll(z, 1, axis=2)
+                return jnp.where(even, -up, down)
+
+            q = q0 * cos + half(q0) * sin
+            k = k0 * cos + half(k0) * sin
+        else:
+            q, k = q0, k0
+
+        def pack(z):
+            if G > 1:
+                z = jnp.pad(z, ((0, 0), (0, Tp - T), (0, 0)))
+                return z.reshape(P // G, R, hidden)
+            return z
+
+        def unpack(z):
+            if G > 1:
+                return z.reshape(P, Tp, hidden)[:, :T]
+            return z
+
+        qp, kp, vp = pack(q), pack(k), pack(v)
+
+        def softmax_h(hd):
+            # p is recomputed per head in the second loop rather than
+            # stashed for all heads — halves peak VMEM for one extra
+            # QK^T matmul per head.
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            s = jax.lax.dot_general(
+                qp[:, :, sl], kp[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            s = s + bias_ref[hd].astype(f32)[None]
+            s = s - s.max(axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            return e / e.sum(axis=-1, keepdims=True)
+
+        outs = []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            outs.append(jax.lax.dot_general(
+                softmax_h(hd), vp[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+        o = unpack(jnp.concatenate(outs, axis=-1)).reshape(P * T, hidden)
+
+        # ---- backward: output projection --------------------------------
+        ga_flat = ga.reshape(P * T, C)
+        dwproj_ref[:] += jax.lax.dot_general(
+            o.astype(dtype), ga_flat.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dwproj_ref.dtype)
+        do = jax.lax.dot_general(
+            ga_flat.astype(dtype), wproj_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(P, T, hidden)
+        dop = pack(do)
+
+        # ---- backward: attention per head --------------------------------
+        dqs, dks, dvs = [], [], []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            p = softmax_h(hd)
+            dO = dop[:, :, sl]
+            dP = jax.lax.dot_general(
+                dO, vp[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+            dvs.append(jax.lax.dot_general(
+                p, dO,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+            dS = p * (dP - (dP * p).sum(axis=-1, keepdims=True))
+            dbias_ref[hd] += dS.sum(axis=0).astype(dbias_ref.dtype)
+            dqs.append(jax.lax.dot_general(
+                dS, kp[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+            dks.append(jax.lax.dot_general(
+                dS, qp[:, :, sl],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))
+        dq_r = unpack(jnp.concatenate(dqs, axis=-1))
+        dk_r = unpack(jnp.concatenate(dks, axis=-1))
+        dv = unpack(jnp.concatenate(dvs, axis=-1))
+        if rot:
+            dq0 = dq_r * cos + half(dq_r) * (-sin)
+            dk0 = dk_r * cos + half(dk_r) * (-sin)
+        else:
+            dq0, dk0 = dq_r, dk_r
+        dq0 = dq0 * (dim_head ** -0.5)
+        dqkv = jnp.concatenate(
+            [dq0.reshape(P * T, hidden), dk0.reshape(P * T, hidden),
+             dv.reshape(P * T, hidden)], axis=-1)
+
+        # ---- backward: qkv projection ------------------------------------
+        dwqkv_ref[:] += jax.lax.dot_general(
+            hn_flat.astype(dtype), dqkv.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dwqkv_ref.dtype)
+        dhn = jax.lax.dot_general(
+            dqkv.astype(dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(P, T, C)
+
+        # ---- backward: inner LayerNorm (scale + bias) ---------------------
+        dlns_ref[0] += (dhn * hhat).sum(axis=(0, 1)).astype(dlns_ref.dtype)
+        dlnb_ref[0] += dhn.sum(axis=(0, 1)).astype(dlnb_ref.dtype)
+        dxh = dhn * lns
+        m1 = dxh.mean(axis=-1, keepdims=True)
+        m2 = (dxh * hhat).mean(axis=-1, keepdims=True)
+        dh = rstd2 * (dxh - m1 - hhat * m2)
+        dh = dh + ga  # inner residual: out = h + proj(attn(LN(h)))
+
+        # ---- backward: channel LayerNorm -----------------------------------
+        da = dh.reshape(HR, Wd, T, C).transpose(2, 0, 1, 3)  # slab layout
+        dgcln_ref[0] += (da * xhat).sum(axis=(0, 1, 2)).astype(dgcln_ref.dtype)
+        dxhat = da * gcln
+        m1c = dxhat.mean(axis=-1, keepdims=True)
+        m2c = (dxhat * xhat).mean(axis=-1, keepdims=True)
+        dx_ln = rstd * (dxhat - m1c - xhat * m2c)
+        dx_ref[0] = (gb + dx_ln).astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                       bias_hnn, g, *, heads, dim_head, rotary, eps,
+                       interpret):
+    _ensure_pallas()
+    B, T, H, W, C = x.shape
+    hidden = heads * dim_head
+    rot = min(32, dim_head) if rotary else 0
+    cos_np = np.ones((T, hidden), np.float32)
+    sin_np = np.zeros((T, hidden), np.float32)
+    if rot:
+        c, s = rotary_tables(T, rot)
+        for hd in range(heads):
+            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
+            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
+    HR, WR = _pick_hw(H, W, T, C, max_tokens=256)
+    G, Tp = _pick_seq_pack(HR * WR, T)
+    if G > 1:
+        R = G * Tp
+        bias_pad = jnp.pad(bias_hnn.astype(jnp.float32),
+                           ((0, 0), (0, Tp - T), (0, Tp - T)))
+        tiled = jnp.einsum("ab,hij->haibj", jnp.eye(G, dtype=jnp.float32),
+                           bias_pad).reshape(heads, R, R)
+        rb = np.arange(R)[:, None] // Tp
+        cb = np.arange(R)[None, :] // Tp
+        cpos = np.arange(R)[None, :] % Tp
+        neg = np.where((rb != cb) | (cpos >= T), -1e9, 0.0).astype(np.float32)
+        bias_in = tiled + jnp.asarray(neg)[None]
+        NB = R
+    else:
+        bias_in = bias_hnn.astype(jnp.float32)
+        NB = T
+
+    x_spec = pl.BlockSpec((1, T, HR, WR, C),
+                          lambda b, ih, iw: (b, 0, ih, iw, 0))
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, ih, iw: tuple(0 for _ in shape))
+    grid_spec = pl.GridSpec(
+        grid=(B, H // HR, W // WR),
+        in_specs=[
+            x_spec,                   # x
+            x_spec,                   # g
+            const((1, C)),            # cln gamma
+            const((1, C)),            # ln scale
+            const((1, C)),            # ln bias
+            const((C, 3 * hidden)),   # w_qkv
+            const((hidden, C)),       # w_proj
+            const((heads, NB, NB)),   # bias (packed form)
+            const((T, hidden)),       # cos
+            const((T, hidden)),       # sin
+        ],
+        out_specs=[
+            x_spec,                   # dx
+            const((1, C)),            # dgamma_cln
+            const((1, C)),            # dln_scale
+            const((1, C)),            # dln_bias
+            const((C, 3 * hidden)),   # dwqkv
+            const((hidden, C)),       # dwproj
+            const((heads, NB, NB)),   # dbias (packed form)
+        ],
+    )
+    kernel = _make_temporal_bwd_kernel(T, HR, WR, C, heads, dim_head, rot,
+                                       eps, G, Tp)
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, 3 * hidden), f32),
+        jax.ShapeDtypeStruct((hidden, C), f32),
+        jax.ShapeDtypeStruct((heads, NB, NB), f32),
+    ]
+    dx, dgcln, dlns, dlnb, dwqkv, dwproj, dbias_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, g, gamma_cln.reshape(1, C).astype(jnp.float32),
+      ln_scale.reshape(1, C).astype(jnp.float32),
+      ln_bias.reshape(1, C).astype(jnp.float32),
+      w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
+      bias_in, jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype))
+
+    if G > 1:
+        db = dbias_p.reshape(heads, G, Tp, G, Tp)
+        dbias = sum(db[:, gi, :T, gi, :T] for gi in range(G))
+    else:
+        dbias = dbias_p
+    return (dx, dgcln.reshape(C).astype(gamma_cln.dtype),
+            dlns.reshape(C).astype(ln_scale.dtype),
+            dlnb.reshape(C).astype(ln_bias.dtype),
+            dwqkv.astype(w_qkv.dtype), dwproj.astype(w_proj.dtype),
+            dbias.astype(bias_hnn.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _fused_temporal(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
                     heads, dim_head, rotary, eps, interpret):
@@ -682,6 +1296,13 @@ def _fused_temporal_fwd(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
 
 
 def _fused_temporal_bwd(heads, dim_head, rotary, eps, interpret, res, g):
+    if backward_kernels_enabled():
+        x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn = res
+        return _temporal_bwd_impl(
+            x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn, g,
+            heads=heads, dim_head=dim_head, rotary=rotary, eps=eps,
+            interpret=interpret)
+
     def ref(*args):
         return temporal_layer_reference(*args, heads=heads, dim_head=dim_head,
                                         rotary=rotary, eps=eps)

@@ -75,3 +75,43 @@ class DMTrainer:
 
     def jitted_train_step(self, donate: bool = True):
         return jax.jit(self.train_step, donate_argnums=(0,) if donate else ())
+
+    def shard_mapped_train_step(self, mesh, donate: bool = True):
+        """Data-parallel train step as an explicit shard_map over the mesh
+        'data' axis: params/opt-state replicated, batch sharded, gradients
+        pmean-ed over ICI. Unlike the GSPMD/pjit path, the body sees LOCAL
+        shapes — so the pallas mega-kernels (ops/pallas_stw.py) run
+        per-chip without XLA inserting resharding collectives around them.
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rep = P()
+        data = P("data")
+
+        def local_step(state, lfae_variables, key, video):
+            # decorrelate per-shard diffusion timesteps / noise
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+            def loss_fn(params):
+                return self.fd.loss(lfae_variables, {"params": params}, key, video)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.unet_params)
+            grads = jax.lax.pmean(grads, "data")
+            aux = jax.lax.pmean(dict(aux), "data")
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.unet_params)
+            params = optax.apply_updates(state.unet_params, updates)
+            new_state = DMTrainState(step=state.step + 1, unet_params=params,
+                                     opt_state=opt_state)
+            aux["grad_norm"] = optax.global_norm(grads)
+            return new_state, aux
+
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(rep, rep, rep, data),
+            out_specs=(rep, rep),
+            check_rep=False,
+        )
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())

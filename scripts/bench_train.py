@@ -1,0 +1,92 @@
+"""Training-step benchmark: DM train step (frozen-LFAE encode + UNet
+fwd/bwd + AdamW) on the KTH-shaped flagship config.
+
+Usage:
+    python scripts/bench_train.py [--batch 8] [--iters 5]
+Env:
+    EXTDM_PALLAS_STW=0   disable fused attention kernels entirely
+    EXTDM_PALLAS_BWD=0   fused forward only, XLA-recompute backward
+
+Prints one JSON line {"metric", "value", "unit", "frames_per_sec"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from bench import KTH_FLOW_PARAMS
+    from extdm_tpu.models.dm import FlowDiffusion, FlowDiffusionConfig
+    from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+
+    cfg = FlowDiffusionConfig(
+        flow_params=KTH_FLOW_PARAMS,
+        cond_frames=10,
+        pred_frames=20,
+        frame_shape=64,
+        timesteps=1000,
+        sampling_timesteps=10,
+        dim=64,
+        dim_mults=(1, 2, 4, 4),
+        attn_heads=8,
+        attn_dim_head=32,
+        dtype=jnp.bfloat16,
+    )
+    fd = FlowDiffusion(cfg)
+    lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+
+    trainer = DMTrainer(fd, make_optimizer(2e-4, (500000,), 0.5))
+    state = trainer.init_state(unet_vars)
+    step_fn = trainer.jitted_train_step(donate=False)
+
+    T = cfg.cond_frames + cfg.pred_frames
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(args.batch, T, 64, 64, 3), jnp.float32)
+
+    state, aux = step_fn(state, lfae_vars, jax.random.PRNGKey(1), video)
+    float(np.asarray(aux["loss"]))  # true host sync (tunneled device)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        state, aux = step_fn(state, lfae_vars, jax.random.fold_in(jax.random.PRNGKey(2), i), video)
+        float(np.asarray(aux["loss"]))
+        times.append(time.perf_counter() - t0)
+    print("per-iter seconds:", [round(t, 3) for t in times], file=sys.stderr)
+    ms = float(np.median(times)) * 1000.0
+    fps = args.batch * T / (ms / 1000.0)
+    print(json.dumps({
+        "metric": "kth_dm_train_step",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "frames_per_sec": round(fps, 1),
+        "batch": args.batch,
+        "pallas_stw": os.environ.get("EXTDM_PALLAS_STW", "1"),
+        "pallas_bwd": os.environ.get("EXTDM_PALLAS_BWD", "1"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

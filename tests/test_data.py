@@ -127,3 +127,54 @@ class TestLoader:
         dl = DataLoader(ds, batch_size=2, num_workers=0, shuffle=False)
         batch = next(iter(dl))
         assert batch["source"].shape == (2, 32, 32, 3)
+
+
+class TestBaseDatasets:
+    def test_concat_with_index(self):
+        from extdm_tpu.data.base import ConcatDatasetWithIndex
+
+        a, b = [0, 1, 2], [10, 11]
+        cat = ConcatDatasetWithIndex([a, b])
+        assert len(cat) == 5
+        assert cat[0] == (0, 0)
+        assert cat[3] == (10, 1)
+        assert cat[-1] == (11, 1)
+        with pytest.raises(ValueError):
+            cat[-6]
+
+    def test_video_paths(self, tmp_path):
+        from extdm_tpu.data.base import VideoPaths
+
+        frames = np.random.RandomState(0).randint(
+            0, 255, size=(6, 8, 8, 3), dtype=np.uint8)
+
+        def fake_reader(path):
+            assert path == "vid0"
+            return frames
+
+        vp = VideoPaths(["vid0"], [1], [4], labels={"cls": [7]},
+                        trans=lambda f: f[::2, ::2], reader=fake_reader)
+        item = vp[0]
+        assert item["video"].shape == (3, 4, 4, 3)
+        assert item["cls"] == 7
+        np.testing.assert_allclose(
+            item["video"], frames[1:4, ::2, ::2] / 127.5 - 1.0, atol=1e-6)
+
+    def test_hdf5_interface(self, tmp_path):
+        from extdm_tpu.data.base import HDF5InterfaceDataset
+
+        rng = np.random.RandomState(0)
+        vids = rng.randint(0, 255, size=(4, 9, 8, 8), dtype=np.uint8)
+        write_video_hdf5(vids, str(tmp_path / "h5"), num_per_shard=3)
+        ds = HDF5InterfaceDataset(str(tmp_path / "h5"), frames_per_sample=5,
+                                  random_time=True, seed=0)
+        assert len(ds) == 4
+        assert ds.len_of_vid(1) == 9
+        item = ds[0]
+        assert item["video"].shape == (5, 8, 8, 1)
+        assert 0.0 <= item["video"].min() and item["video"].max() <= 1.0
+        # subset remap spans the store
+        ds2 = HDF5InterfaceDataset(str(tmp_path / "h5"), frames_per_sample=5,
+                                   total_videos=2, random_time=False, seed=0)
+        assert len(ds2) == 2
+        _ = ds2[1]

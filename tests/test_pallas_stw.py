@@ -125,8 +125,8 @@ def test_fused_gradients_match():
             heads=heads, dim_head=dim_head, rotary=True) ** 2)
 
     args = (x, p["gamma"], p["w_qkv"], p["w_proj"], p["b_proj"], bias)
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
@@ -270,8 +270,64 @@ def test_fused_temporal_gradients_match():
         return jnp.sum(pallas_stw.temporal_layer_reference(
             *a, heads=heads, dim_head=dim_head, rotary=True) ** 2)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 4, 5))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 4, 5))(*args)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_gradients_match_unshifted_larger():
+    """Backward kernel parity on an unshifted, multi-head, odd-T case."""
+    window, shift = (4, 4, 4), (0, 0, 0)
+    heads, dim_head = 4, 16
+    B, T, H, W, C = 2, 6, 8, 8, 32
+    p = make_params(jax.random.PRNGKey(9), C, heads, dim_head, window)
+    x = jax.random.normal(jax.random.PRNGKey(10), (B, T, H, W, C))
+    win, sh = window, shift
+    N = win[0] * win[1] * win[2]
+    bias = bias_from_table(p["table"], window, N, heads)
+    margs = _mask_args(T, H, W, win, sh)
+
+    def loss_fused(*a):
+        return jnp.sum(pallas_stw.fused_stw_layer(
+            *a, window=win, shift=sh, heads=heads, dim_head=dim_head,
+            rotary=True, interpret=True) ** 3)
+
+    def loss_ref(*a):
+        return jnp.sum(pallas_stw.stw_layer_reference(
+            *a, *margs, window=win, shift=sh, heads=heads,
+            dim_head=dim_head, rotary=True) ** 3)
+
+    args = (x, p["gamma"], p["w_qkv"], p["w_proj"], p["b_proj"], bias)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_fused_temporal_gradients_match_unpacked():
+    """Temporal backward with a T too long to pack (G == 1)."""
+    heads, dim_head = 2, 8
+    B, T, H, W, C = 1, 40, 2, 4, 16
+    p = _temporal_params(jax.random.PRNGKey(11), C, heads, dim_head)
+    x = jax.random.normal(jax.random.PRNGKey(12), (B, T, H, W, C))
+    bias = jax.random.normal(jax.random.PRNGKey(13), (heads, T, T)) * 0.02
+    args = (x, p["gamma_cln"], p["ln_scale"], p["ln_bias"], p["w_qkv"],
+            p["w_proj"], bias)
+
+    def loss_fused(*a):
+        return jnp.sum(pallas_stw.fused_temporal_layer(
+            *a, heads=heads, dim_head=dim_head, rotary=True,
+            interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pallas_stw.temporal_layer_reference(
+            *a, heads=heads, dim_head=dim_head, rotary=True) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 4, 5, 6))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 4, 5, 6))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
