@@ -172,6 +172,7 @@ class FlowDiffusionConfig:
     down_adaptor_from_level: int = 0
     path: int = 0  # 1 -> THW combined bias (repro's u22 addition)
     with_rec_losses: bool = False
+    remat: bool = True  # per-level UNet rematerialization (activation HBM)
     dtype: Any = None
 
     @property
@@ -195,6 +196,7 @@ class FlowDiffusionConfig:
             use_ref_features=self.use_ref_features,
             conditioning=self.conditioning,
             down_adaptor_from_level=self.down_adaptor_from_level,
+            remat=self.remat,
             dtype=self.dtype,
         )
 

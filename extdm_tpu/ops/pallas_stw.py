@@ -156,8 +156,10 @@ def stw_layer_reference(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
 
 # ---------------------------------------------------------------- kernel
 def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
-             max_tokens: int = 512) -> int:
-    """T-window rows per program: target 256-1024 tokens, bounded VMEM."""
+             max_tokens: int = None) -> int:
+    """T-window rows per program: bounded tokens/VMEM per program."""
+    if max_tokens is None:
+        max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "512"))
     best = 1
     for kt in range(1, n_tw + 1):
         if n_tw % kt:

@@ -35,6 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
     from bench import KTH_FLOW_PARAMS
@@ -52,6 +53,7 @@ def main():
         dim_mults=(1, 2, 4, 4),
         attn_heads=8,
         attn_dim_head=32,
+        remat=not args.no_remat,
         dtype=jnp.bfloat16,
     )
     fd = FlowDiffusion(cfg)
@@ -85,6 +87,7 @@ def main():
         "batch": args.batch,
         "pallas_stw": os.environ.get("EXTDM_PALLAS_STW", "1"),
         "pallas_bwd": os.environ.get("EXTDM_PALLAS_BWD", "1"),
+        "remat": not args.no_remat,
     }))
 
 
