@@ -130,14 +130,22 @@ class LFAE(nn.Module):
 
     def decode_flows(self, ref_img: Array, flow: Array, conf: Optional[Array]) -> Dict[str, Array]:
         """Decode (B, T, h, w, 2) flows + (B, T, h, w, 1) conf to pixels with
-        the frozen generator (`forward_with_flow`, ref :152-206)."""
+        the frozen generator (`forward_with_flow`, ref :152-206).
+
+        TPU-native restructuring: the reference re-encodes the ref frame for
+        every decoded frame; here the encoder runs ONCE per video and its
+        features/skips are repeated across the T flows (exactly equivalent —
+        the encoder is flow-independent)."""
         B, T = flow.shape[:2]
+        enc = self.generator(ref_img, mode="encode_feats")
         ref_rep = jnp.repeat(ref_img, T, axis=0)
         gen = self.generator(
             ref_rep,
-            mode="flow",
+            mode="flow_decode",
             optical_flow=_merge_bt(flow),
             occlusion_map=_merge_bt(conf) if conf is not None else None,
+            feat=jnp.repeat(enc["feat"], T, axis=0),
+            skips=tuple(jnp.repeat(s, T, axis=0) for s in enc["skips"]),
         )
         return {
             "out_vid": _split_bt(gen["prediction"], B),

@@ -126,6 +126,8 @@ class Generator(nn.Module):
         mode: str = "full",
         optical_flow=None,
         occlusion_map=None,
+        feat=None,
+        skips=None,
     ) -> Dict[str, jnp.ndarray]:
         if mode == "bottle":
             out, _ = self._encode(source_image)
@@ -142,6 +144,22 @@ class Generator(nn.Module):
             out, skips = self._encode(source_image)
             output = {"deformed": deform_input(source_image, optical_flow)}
             return self._decode(out, skips, source_image, motion, output)
+
+        if mode == "encode_feats":
+            # encoder features + skips for reuse across many flow decodes of
+            # the SAME source (the DM decode path warps one ref frame per
+            # tp flows; encoding it once instead of tp times is a TPU-native
+            # saving over the reference's per-frame forward_with_flow).
+            out, skips = self._encode(source_image)
+            return {"feat": out, "skips": tuple(skips)}
+
+        if mode == "flow_decode":
+            # decode with externally supplied flow AND pre-encoded features
+            # (from mode="encode_feats", already repeated by the caller).
+            assert optical_flow is not None and feat is not None
+            motion = {"optical_flow": optical_flow, "occlusion_map": occlusion_map}
+            output = {"deformed": deform_input(source_image, optical_flow)}
+            return self._decode(feat, list(skips), source_image, motion, output)
 
         assert mode == "full"
         out, skips = self._encode(source_image)

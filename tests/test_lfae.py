@@ -160,6 +160,34 @@ class TestGenerator:
         # identity flow + full-confidence occlusion => deformed == source
         np.testing.assert_allclose(np.asarray(out["deformed"]), np.asarray(src), atol=1e-5)
 
+    def test_encode_feats_decode_matches_flow(self, rngs):
+        """mode='encode_feats' + mode='flow_decode' must reproduce mode='flow'
+        exactly (the encoder is flow-independent, so hoisting it out of the
+        per-frame decode is a pure restructuring)."""
+        model = Generator(num_regions=4, **KTH_GEN_CFG)
+        rs = np.random.RandomState(6)
+        src = jnp.asarray(rs.rand(1, 64, 64, 3), jnp.float32)
+        rp = {
+            "shift": jnp.zeros((1, 4, 2)),
+            "covar": jnp.tile(jnp.eye(2) * 0.01, (1, 4, 1, 1)),
+            "affine": jnp.tile(jnp.eye(2) * 0.1, (1, 4, 1, 1)),
+        }
+        variables = model.init(rngs, src, rp, rp, jnp.tile(jnp.eye(3), (1, 1, 1)))
+        flow = jnp.asarray(rs.uniform(-1, 1, (1, 32, 32, 2)), jnp.float32)
+        occ = jnp.asarray(rs.rand(1, 32, 32, 1), jnp.float32)
+        ref, _ = model.apply(
+            variables, src, mode="flow", optical_flow=flow, occlusion_map=occ,
+            mutable=["batch_stats"],
+        )
+        enc, _ = model.apply(variables, src, mode="encode_feats", mutable=["batch_stats"])
+        out, _ = model.apply(
+            variables, src, mode="flow_decode", optical_flow=flow, occlusion_map=occ,
+            feat=enc["feat"], skips=enc["skips"], mutable=["batch_stats"],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["prediction"]), np.asarray(ref["prediction"])
+        )
+
     def test_encode_flow_matches_full(self, rngs):
         model = Generator(num_regions=4, **KTH_GEN_CFG)
         src = jnp.asarray(np.random.RandomState(5).rand(1, 64, 64, 3), jnp.float32)
