@@ -38,7 +38,25 @@ def grid_sample(
     image: (B, H, W, C)
     grid:  (B, Ho, Wo, 2) with (x, y) in [-1, 1].
     Returns (B, Ho, Wo, C).
+
+    On TPU, tileable shapes dispatch to the fused one-hot-matmul pallas
+    kernel (ops/pallas_warp.py) — XLA lowers the gather formulation below
+    to per-pixel row loads, which dominate the LFAE encode/decode cost.
     """
+    from extdm_tpu.ops import pallas_warp
+
+    if pallas_warp.enabled() and pallas_warp.supported(image.shape, grid.shape):
+        return pallas_warp.grid_sample(image, grid, padding_mode)
+    return grid_sample_xla(image, grid, padding_mode)
+
+
+def grid_sample_xla(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Gather-based reference implementation (always used on CPU/GPU, and
+    as the VJP recompute path of the fused kernel)."""
     B, H, W, C = image.shape
     _, Ho, Wo, _ = grid.shape
     compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
