@@ -156,17 +156,27 @@ def stw_layer_reference(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
 
 # ---------------------------------------------------------------- kernel
 def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
-             max_tokens: int = None) -> int:
-    """T-window rows per program: bounded tokens/VMEM per program."""
+             max_tokens: int = None, hidden: int = None) -> int:
+    """T-window rows per program: bounded tokens/VMEM per program.
+
+    Default budget 1024 tokens (measured +2% end-to-end sampling vs 512 —
+    fewer, larger programs); 2048 blows the 16 MB scoped-VMEM limit (f32
+    q/k/v at 3*hidden dominate), hence the hidden-aware byte cap."""
     if max_tokens is None:
-        max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "512"))
+        max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "1024"))
     best = 1
     for kt in range(1, n_tw + 1):
         if n_tw % kt:
             continue
         tokens = kt * wd * wh_rows * wp
-        if tokens <= max_tokens and tokens * c * 4 <= 2 * 1024 * 1024:
-            best = kt
+        if tokens > max_tokens:
+            continue
+        if hidden is not None:
+            if tokens * (12 * hidden + 8 * c) > 5_500_000:
+                continue
+        elif tokens * c * 4 > 2 * 1024 * 1024:
+            continue
+        best = kt
     return best
 
 
@@ -288,7 +298,7 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
     wd, wh, ww = window
     N = wd * wh * ww
     n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
-    KT = _pick_kt(n_tw, wh, wd, Wp, C)
+    KT = _pick_kt(n_tw, wh, wd, Wp, C, hidden=heads * dim_head)
     M = 0 if masks is None else masks.shape[0]
 
     x_spec = pl.BlockSpec((1, KT * wd, wh, Wp, C),
@@ -903,14 +913,27 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
     return kernel
 
 
-def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = 1024) -> int:
+def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = None,
+             hidden: int = None) -> int:
+    if max_tokens is None:
+        max_tokens = int(os.environ.get("EXTDM_TEMPORAL_FWD_TOKENS", "1024"))
     best = 1
     for hr in range(1, Hp + 1):
         if Hp % hr:
             continue
         tokens = hr * Wd * T
-        if tokens <= max_tokens and tokens * c * 4 <= 2 * 1024 * 1024:
-            best = hr
+        if tokens > max_tokens:
+            continue
+        if hidden is not None:
+            # scoped-VMEM model: f32 q/k/v (+rotary copies) ~12B/token/hidden
+            # channel + f32 slab+out ~8B/token/C channel; measured on-device:
+            # 960 tokens @ hidden=256, C=256 fits (scoped ~11M), 1920 tokens
+            # @ hidden=256, C=64 blows the 16M scoped limit (22M).
+            if tokens * (12 * hidden + 8 * c) > 5_500_000:
+                continue
+        elif tokens * c * 4 > 1024 * 1024:
+            continue
+        best = hr
     return best
 
 
@@ -927,7 +950,7 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
         for hd in range(heads):
             cos_np[:, hd * dim_head : hd * dim_head + rot] = c
             sin_np[:, hd * dim_head : hd * dim_head + rot] = s
-    HR = _pick_hr(H, W, T, C)
+    HR = _pick_hr(H, W, T, C, hidden=hidden)
     G, Tp = _pick_seq_pack(HR * W, T)
     if G > 1:
         # pre-tile the bias block-diagonally with -1e9 off-diagonal and on
