@@ -130,6 +130,24 @@ def main():
     vp.add_argument("--image_size", type=int, default=64)
     vp.add_argument("--gray", action="store_true", help="store grayscale (KTH-style)")
 
+    mp = sub.add_parser("smmnist",
+                        help="stochastic moving MNIST from raw MNIST idx files")
+    mp.add_argument("--mnist_images", required=True,
+                    help="path to train-images-idx3-ubyte[.gz]")
+    mp.add_argument("--out", required=True)
+    mp.add_argument("--split", default="train")
+    mp.add_argument("--num_videos", type=int, default=8000)
+    mp.add_argument("--num_frames", type=int, default=30)
+    mp.add_argument("--image_size", type=int, default=64)
+    mp.add_argument("--num_digits", type=int, default=2)
+    mp.add_argument("--seed", type=int, default=0)
+
+    bp = sub.add_parser("bair",
+                        help="BAIR push tfrecords -> h5 shards (no tensorflow)")
+    bp.add_argument("--src", required=True, help="directory of .tfrecord files")
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--split", default="train")
+
     args = p.parse_args()
     if args.cmd == "shapes":
         from extdm_tpu.data import make_moving_shapes_dataset
@@ -143,6 +161,31 @@ def main():
         convert_npy(args.src, args.out, args.split)
     elif args.cmd == "videos":
         convert_video_files(args.src, args.out, args.split, args.image_size, args.gray)
+    elif args.cmd == "smmnist":
+        from extdm_tpu.data import HDF5VideoWriter
+        from extdm_tpu.data.converters import load_mnist_images, make_smmnist
+
+        images = load_mnist_images(args.mnist_images)
+        writer = HDF5VideoWriter(os.path.join(args.out, args.split), force=True)
+        n = 0
+        for video in make_smmnist(images, args.num_videos, args.num_frames,
+                                  args.image_size, args.num_digits,
+                                  seed=args.seed):
+            writer.add_video(list(video))
+            n += 1
+        writer.close()
+        print(f"wrote {n} videos to {args.out}/{args.split}")
+    elif args.cmd == "bair":
+        from extdm_tpu.data import HDF5VideoWriter
+        from extdm_tpu.data.converters import iter_bair_videos
+
+        writer = HDF5VideoWriter(os.path.join(args.out, args.split), force=True)
+        n = 0
+        for video in iter_bair_videos(args.src):
+            writer.add_video(list(video))
+            n += 1
+        writer.close()
+        print(f"wrote {n} videos to {args.out}/{args.split}")
 
 
 if __name__ == "__main__":
