@@ -28,9 +28,13 @@ class ChanLayerNorm(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (dim,))
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        return (x - mean) / jnp.sqrt(var + self.eps) * gamma
+        # statistics in f32, output in the input dtype — promoting with the
+        # f32 gamma would silently upcast the whole bf16 stream downstream
+        # (2x HBM traffic + f32 matmuls in the attention kernels).
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = x32.var(axis=-1, keepdims=True)
+        return ((x32 - mean) / jnp.sqrt(var + self.eps) * gamma).astype(x.dtype)
 
 
 class Conv3d1x1(nn.Module):
@@ -72,16 +76,18 @@ class Extrapolator(nn.Module):
         x = xm
         for i in range(self.num_layers):
             r = x
-            mean = x.mean(axis=(1, 2, 3), keepdims=True)
-            var = x.reshape(x.shape[0], -1, x.shape[-1]).var(axis=1)
+            # stats in f32; the normalized stream stays in the compute dtype
+            x32 = x.astype(jnp.float32)
+            mean = x32.mean(axis=(1, 2, 3), keepdims=True)
+            var = x32.reshape(x.shape[0], -1, x.shape[-1]).var(axis=1)
             std = jnp.sqrt(var + 1e-5)[:, None, None, None, :]
-            xh = (x - mean) / std
+            xh = ((x32 - mean) / std).astype(x.dtype)
             xh = xh + nn.Conv(
                 x.shape[-1], (3, 3, 3), padding=((1, 1), (1, 1), (1, 1)),
                 use_bias=False, kernel_init=torch_kernel_init, dtype=self.dtype,
                 name=f"extrapolator{i}",
             )(xh)
-            x = xh * std + mean
+            x = (xh.astype(jnp.float32) * std + mean).astype(x.dtype)
             x = jnp.concatenate([r, x], axis=1)
         return x[:, tm:]
 

@@ -76,6 +76,12 @@ class Block3d(nn.Module):
     def __call__(self, x, scale_shift=None):
         x = Conv3d(self.features, (1, 3, 3), dtype=self.dtype, name="proj")(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        # flax norms promote with their f32 params (dtype=None), which
+        # silently upcast the whole UNet main stream to f32 downstream —
+        # 2x HBM on every activation pass and f32 qkv matmuls inside the
+        # attention kernels. Keep the f32 statistics, cast the output back.
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -276,6 +282,8 @@ class Unet3D(nn.Module):
             if cond_cache is None:
                 assert cond_fea is not None
                 fdim = self.cond_feature_dim
+                if self.dtype is not None:
+                    cond_fea = cond_fea.astype(self.dtype)
                 cf = MotionAdaptor(tc, tp, dtype=self.dtype, name="cond_adaptor")(cond_fea)
                 cf = PreNormTemporalAttn(heads, dim_head, dtype=self.dtype,
                                          name="cond_temporal_attn")(cf, time_rel_pos_bias)

@@ -129,6 +129,12 @@ class Generator(nn.Module):
         feat=None,
         skips=None,
     ) -> Dict[str, jnp.ndarray]:
+        if self.dtype is not None:
+            # bf16 policy: source pixels are [0,1] with 8-bit provenance
+            # (bf16 eps 2^-8 == 1/256), and keeping them f32 forces the
+            # full-res source warp through the exact-precision matmul path
+            # (~4x slower on the MXU).
+            source_image = source_image.astype(self.dtype)
         if mode == "bottle":
             out, _ = self._encode(source_image)
             return {"bottle_neck_feat": out}

@@ -88,6 +88,9 @@ class PixelwiseFlowPredictor(nn.Module):
     def __call__(self, source, driving_params, source_params, bg_params=None) -> Dict[str, jnp.ndarray]:
         if self.scale_factor != 1.0:
             source = antialias_downsample(source, self.scale_factor)
+        if self.dtype is not None:
+            # bf16 source for the K+1 warps (see Generator.__call__ note)
+            source = source.astype(self.dtype)
         B, h, w, C = source.shape
         K1 = self.num_regions + 1
 

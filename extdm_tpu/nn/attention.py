@@ -189,7 +189,10 @@ class TemporalAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
-        h = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        # dtype=self.dtype: flax computes the statistics in f32 and casts the
+        # output back — without it the f32 scale/bias params promote the
+        # whole stream to f32 downstream.
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         h = TemporalAttention(self.heads, self.dim_head, self.rotary, self.dtype, name="attn")(h, pos_bias)
         return x + h
 
