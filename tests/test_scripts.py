@@ -127,3 +127,38 @@ def test_cli_pipeline(tiny_setup):
     assert os.path.exists(os.path.join(v2v_dir, "appearance.gif"))
     assert os.path.exists(os.path.join(v2v_dir, "transfer_1.gif"))
     assert os.path.exists(os.path.join(v2v_dir, "flow_2", "grid_t000.png"))
+
+
+def test_make_dataset_smmnist_and_bair(tmp_path):
+    """smmnist/bair converter CLIs: fixture idx + tfrecord files -> readable
+    h5 shards in the reference layout."""
+    import struct
+
+    from test_converters import (_example, _feature_bytes, _write_idx,
+                                 _write_tfrecord)
+
+    rs = np.random.RandomState(0)
+    idx_path = str(tmp_path / "mnist-idx3-ubyte")
+    _write_idx(idx_path, rs.randint(0, 256, (16, 28, 28), dtype=np.uint8))
+    r = run(["scripts/make_dataset.py", "smmnist", "--mnist_images", idx_path,
+             "--out", str(tmp_path / "smm"), "--num_videos", "3",
+             "--num_frames", "6"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    v = rs.randint(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    feats = {f"{t}/image_aux1/encoded": _feature_bytes([v[t].tobytes()])
+             for t in range(4)}
+    bair_src = tmp_path / "bair_src"
+    bair_src.mkdir()
+    _write_tfrecord(str(bair_src / "traj.tfrecord"), [_example(feats)])
+    r = run(["scripts/make_dataset.py", "bair", "--src", str(bair_src),
+             "--out", str(tmp_path / "bair")])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from extdm_tpu.data import HDF5VideoStore
+
+    smm = HDF5VideoStore(str(tmp_path / "smm" / "train"))
+    assert len(smm) == 3 and smm.read_frames(0, 0, 6).shape == (6, 64, 64)
+    bair = HDF5VideoStore(str(tmp_path / "bair" / "train"))
+    assert len(bair) == 1
+    np.testing.assert_array_equal(bair.read_frames(0, 0, 4), v)
