@@ -155,13 +155,44 @@ def stw_layer_reference(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
 
 
 # ---------------------------------------------------------------- kernel
+def _vmem_limit_bytes() -> int:
+    """Per-kernel Mosaic VMEM limit passed via CompilerParams.
+
+    v5e has 128 MB physical VMEM; the compiler's default scoped limit is
+    16 MB. Raising it admits larger programs than the default would —
+    measured: the FORWARD optimum stays at the 1024-token budget (bigger
+    programs lose DMA/compute overlap: 2048-token UNet fwd is ~5% slower,
+    4096 ~ -30%), but the BACKWARD kernels (~4x live intermediates) gain
+    headroom beyond the 256 tokens the 16 MB limit forced."""
+    return int(os.environ.get("EXTDM_PALLAS_VMEM_MB", "64")) * 1024 * 1024
+
+
+def _scoped_cap() -> int:
+    # Leave 30% of the declared limit for IO double-buffering + slop in
+    # the per-token model below.
+    return int(0.7 * _vmem_limit_bytes())
+
+
+def _scoped_bytes_per_token(hidden: int, c: int) -> int:
+    """Estimated Mosaic scoped-VMEM bytes per token (forward kernels).
+
+    Calibrated against compiler scoped-allocation reports on the temporal
+    kernel at hidden=256: ~11.5 KB/token (960 tokens -> ~11 MB scoped,
+    1920 -> ~22 MB). Dominated by f32 q/k/v + rotary/score transients
+    (the hidden term); the C term (f32 slab + output) is smaller."""
+    return hidden * 46 + 8 * c
+
+
 def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
-             max_tokens: int = None, hidden: int = None) -> int:
+             max_tokens: int = None, hidden: int = None,
+             mult: int = 1) -> int:
     """T-window rows per program: bounded tokens/VMEM per program.
 
-    Default budget 1024 tokens (measured +2% end-to-end sampling vs 512 —
-    fewer, larger programs); 2048 blows the 16 MB scoped-VMEM limit (f32
-    q/k/v at 3*hidden dominate), hence the hidden-aware byte cap."""
+    Default budget 1024 tokens — the measured optimum (512 is -2%,
+    2048/4096 lose DMA/compute overlap). The byte cap keeps adventurous
+    env budgets within the declared VMEM limit; `mult` scales the
+    estimate for the backward kernels (~4x the forward's intermediates).
+    """
     if max_tokens is None:
         max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "1024"))
     best = 1
@@ -172,7 +203,8 @@ def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
         if tokens > max_tokens:
             continue
         if hidden is not None:
-            if tokens * (12 * hidden + 8 * c) > 5_500_000:
+            if tokens * mult * _scoped_bytes_per_token(hidden, c) \
+                    > _scoped_cap():
                 continue
         elif tokens * c * 4 > 2 * 1024 * 1024:
             continue
@@ -338,6 +370,8 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(ids_in, x, gamma.reshape(1, C).astype(x.dtype),
       w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
@@ -540,7 +574,10 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
     wd, wh, ww = window
     N = wd * wh * ww
     n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
-    KT = _pick_kt(n_tw, wh, wd, Wp, C, max_tokens=256)
+    KT = _pick_kt(n_tw, wh, wd, Wp, C,
+                  max_tokens=int(os.environ.get("EXTDM_STW_BWD_TOKENS",
+                                                "512")),
+                  hidden=heads * dim_head, mult=4)
     M = 0 if masks is None else masks.shape[0]
     hidden = heads * dim_head
 
@@ -596,6 +633,8 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(ids_in, x, g, gamma.reshape(1, C).astype(jnp.float32),
       w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
@@ -914,7 +953,7 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
 
 
 def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = None,
-             hidden: int = None) -> int:
+             hidden: int = None, mult: int = 1) -> int:
     if max_tokens is None:
         max_tokens = int(os.environ.get("EXTDM_TEMPORAL_FWD_TOKENS", "1024"))
     best = 1
@@ -925,11 +964,10 @@ def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = None,
         if tokens > max_tokens:
             continue
         if hidden is not None:
-            # scoped-VMEM model: f32 q/k/v (+rotary copies) ~12B/token/hidden
-            # channel + f32 slab+out ~8B/token/C channel; measured on-device:
-            # 960 tokens @ hidden=256, C=256 fits (scoped ~11M), 1920 tokens
-            # @ hidden=256, C=64 blows the 16M scoped limit (22M).
-            if tokens * (12 * hidden + 8 * c) > 5_500_000:
+            # scoped-VMEM model: see _scoped_bytes_per_token (calibrated
+            # on THIS kernel's compiler reports).
+            if tokens * mult * _scoped_bytes_per_token(hidden, c) \
+                    > _scoped_cap():
                 continue
         elif tokens * c * 4 > 1024 * 1024:
             continue
@@ -993,6 +1031,8 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(x, gamma_cln.reshape(1, C).astype(x.dtype),
       ln_scale.reshape(1, C).astype(jnp.float32),
@@ -1003,12 +1043,14 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
 
 
 # -------------------------------------------------------- temporal backward
-def _pick_hw(H: int, W: int, T: int, c: int, max_tokens: int):
+def _pick_hw(H: int, W: int, T: int, c: int, max_tokens: int,
+             hidden: int = None):
     """(HR, WR) block for the temporal bwd kernel: prefer whole-W rows,
     split W when even one H-row exceeds the token budget (the backward
     holds ~4x the forward's intermediates in VMEM)."""
     if T * W <= max_tokens:
-        return _pick_hr(H, W, T, c, max_tokens=max_tokens), W
+        return _pick_hr(H, W, T, c, max_tokens=max_tokens, hidden=hidden,
+                        mult=4), W
     wr = 1
     for cand in range(1, W + 1):
         if W % cand == 0 and T * cand <= max_tokens:
@@ -1225,7 +1267,10 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
         for hd in range(heads):
             cos_np[:, hd * dim_head : hd * dim_head + rot] = c
             sin_np[:, hd * dim_head : hd * dim_head + rot] = s
-    HR, WR = _pick_hw(H, W, T, C, max_tokens=256)
+    HR, WR = _pick_hw(H, W, T, C,
+                      max_tokens=int(os.environ.get(
+                          "EXTDM_TEMPORAL_BWD_TOKENS", "256")),
+                      hidden=hidden)
     G, Tp = _pick_seq_pack(HR * WR, T)
     if G > 1:
         R = G * Tp
@@ -1287,6 +1332,8 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(x, g, gamma_cln.reshape(1, C).astype(jnp.float32),
       ln_scale.reshape(1, C).astype(jnp.float32),

@@ -331,3 +331,56 @@ def test_fused_temporal_gradients_match_unpacked():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_fused_bf16_matches_f32_reference():
+    """bf16 inputs (q/k/v stored bf16 since the VMEM-halving change) must
+    track the f32 reference within bf16 noise."""
+    window = (4, 4, 4)
+    heads, dim_head = 4, 8
+    B, T, H, W, C = 2, 6, 8, 8, 32
+    p = make_params(jax.random.PRNGKey(0), C, heads, dim_head, window)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C), jnp.float32)
+
+    from extdm_tpu.nn.attention import get_window_size
+
+    win, sh = get_window_size((T, H, W), window, (2, 2, 2))
+    N = win[0] * win[1] * win[2]
+    bias = bias_from_table(p["table"], window, N, heads)
+
+    ref = pallas_stw.stw_layer_reference(
+        x, p["gamma"], p["w_qkv"], p["w_proj"], p["b_proj"], bias,
+        *_mask_args(T, H, W, win, sh),
+        window=win, shift=sh, heads=heads, dim_head=dim_head, rotary=True)
+    out = pallas_stw.fused_stw_layer(
+        x.astype(jnp.bfloat16), p["gamma"], p["w_qkv"], p["w_proj"],
+        p["b_proj"], bias, window=win, shift=sh, heads=heads,
+        dim_head=dim_head, rotary=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    rel = err / (np.abs(np.asarray(ref)) + 1e-2)
+    assert rel.max() < 0.1, rel.max()  # bf16 eps ~ 0.4% per op, chained
+
+
+def test_fused_temporal_bf16_matches_f32_reference():
+    heads, dim_head = 2, 8
+    B, T, H, W, C = 1, 5, 4, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    gamma = jax.random.normal(ks[0], (C,)) * 0.1 + 1.0
+    lns = jax.random.normal(ks[1], (C,)) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[2], (C,)) * 0.05
+    w_qkv = jax.random.normal(ks[3], (C, 3 * heads * dim_head)) * 0.05
+    w_proj = jax.random.normal(ks[4], (heads * dim_head, C)) * 0.05
+    bias = jax.random.normal(ks[5], (heads, T, T)) * 0.1
+    x = jax.random.normal(ks[6], (B, T, H, W, C), jnp.float32)
+
+    ref = pallas_stw.temporal_layer_reference(
+        x, gamma, lns, lnb, w_qkv, w_proj, bias,
+        heads=heads, dim_head=dim_head, rotary=True)
+    out = pallas_stw.fused_temporal_layer(
+        x.astype(jnp.bfloat16), gamma, lns, lnb, w_qkv, w_proj, bias,
+        heads=heads, dim_head=dim_head, rotary=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    rel = err / (np.abs(np.asarray(ref)) + 1e-2)
+    assert rel.max() < 0.1, rel.max()
