@@ -164,7 +164,7 @@ def _vmem_limit_bytes() -> int:
     programs lose DMA/compute overlap: 2048-token UNet fwd is ~5% slower,
     4096 ~ -30%), but the BACKWARD kernels (~4x live intermediates) gain
     headroom beyond the 256 tokens the 16 MB limit forced."""
-    return int(os.environ.get("EXTDM_PALLAS_VMEM_MB", "64")) * 1024 * 1024
+    return int(os.environ.get("EXTDM_PALLAS_VMEM_MB", "96")) * 1024 * 1024
 
 
 def _scoped_cap() -> int:
@@ -576,7 +576,7 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
     n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
     KT = _pick_kt(n_tw, wh, wd, Wp, C,
                   max_tokens=int(os.environ.get("EXTDM_STW_BWD_TOKENS",
-                                                "512")),
+                                                "1024")),
                   hidden=heads * dim_head, mult=4)
     M = 0 if masks is None else masks.shape[0]
     hidden = heads * dim_head
@@ -1269,7 +1269,7 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
             sin_np[:, hd * dim_head : hd * dim_head + rot] = s
     HR, WR = _pick_hw(H, W, T, C,
                       max_tokens=int(os.environ.get(
-                          "EXTDM_TEMPORAL_BWD_TOKENS", "256")),
+                          "EXTDM_TEMPORAL_BWD_TOKENS", "1024")),
                       hidden=hidden)
     G, Tp = _pick_seq_pack(HR * WR, T)
     if G > 1:
