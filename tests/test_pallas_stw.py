@@ -384,3 +384,30 @@ def test_fused_temporal_bf16_matches_f32_reference():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
     rel = err / (np.abs(np.asarray(ref)) + 1e-2)
     assert rel.max() < 0.1, rel.max()
+
+
+@pytest.mark.parametrize("shift", [(0, 0, 0), (1, 2, 2)])
+def test_fused_small_window_matches_reference(shift):
+    """window (2,4,4) -> N=32 (traj_u12/u22 preset shape)."""
+    window = (2, 4, 4)
+    heads, dim_head = 4, 8
+    B, T, H, W, C = 2, 6, 8, 8, 32
+    p = make_params(jax.random.PRNGKey(0), C, heads, dim_head, window)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C), jnp.float32)
+
+    from extdm_tpu.nn.attention import get_window_size
+
+    win, sh = get_window_size((T, H, W), window, shift)
+    N = win[0] * win[1] * win[2]
+    bias = bias_from_table(p["table"], window, N, heads)
+
+    ref = pallas_stw.stw_layer_reference(
+        x, p["gamma"], p["w_qkv"], p["w_proj"], p["b_proj"], bias,
+        *_mask_args(T, H, W, win, sh),
+        window=win, shift=sh, heads=heads, dim_head=dim_head, rotary=True)
+    out = pallas_stw.fused_stw_layer(
+        x, p["gamma"], p["w_qkv"], p["w_proj"], p["b_proj"], bias,
+        window=win, shift=sh, heads=heads, dim_head=dim_head, rotary=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
