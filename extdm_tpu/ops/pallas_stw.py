@@ -371,6 +371,10 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
+            # forward has no cross-program accumulation -> parallel grid
+            # (the backward kernels revisit constant-index output blocks
+            # and must stay sequential/arbitrary)
+            dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(ids_in, x, gamma.reshape(1, C).astype(x.dtype),
@@ -1032,6 +1036,8 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
+            # no cross-program accumulation in the forward (see STW note)
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(x, gamma_cln.reshape(1, C).astype(x.dtype),
