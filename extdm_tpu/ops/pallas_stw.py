@@ -883,8 +883,14 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
     R = G * Tp
     f32 = jnp.float32
 
-    def kernel(x_ref, gcln_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
+    def kernel(x_ref, gcln_ref, wqkv_ref, bqkv_ref, wproj_ref,
                bias_ref, cos_ref, sin_ref, o_ref):
+        # wqkv_ref/bqkv_ref are the AUGMENTED projections prepared in
+        # _temporal_impl: the inner LayerNorm's scale/bias and the
+        # 1/sqrt(d) q scale are folded into the weights, and (when rot)
+        # two extra column blocks hold the signed pair-swapped q/k
+        # projections so RoPE's rotate-half needs no lane rolls here —
+        # rot(q) = q*cos + R(q)*sin with R(q) coming off the MXU.
         xb = x_ref[0].astype(f32)  # (T, HR, Wd, C)
         mean = xb.mean(-1, keepdims=True)
         var = ((xb - mean) ** 2).mean(-1, keepdims=True)
@@ -893,28 +899,22 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         h = a.transpose(1, 2, 0, 3).reshape(P, T, C)
         mean2 = h.mean(-1, keepdims=True)
         var2 = ((h - mean2) ** 2).mean(-1, keepdims=True)
-        hn = (h - mean2) * jax.lax.rsqrt(var2 + eps) * lns_ref[0].astype(f32) \
-            + lnb_ref[0].astype(f32)
+        hn = (h - mean2) * jax.lax.rsqrt(var2 + eps)
         qkv = jax.lax.dot_general(
             hn.reshape(P * T, C).astype(x_ref.dtype), wqkv_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )
-        q = qkv[:, :hidden].reshape(P, T, hidden) * (dim_head ** -0.5)
+        ) + bqkv_ref[0]
+        q = qkv[:, :hidden].reshape(P, T, hidden)
         k = qkv[:, hidden:2 * hidden].reshape(P, T, hidden)
-        v = qkv[:, 2 * hidden:].reshape(P, T, hidden)
+        v = qkv[:, 2 * hidden:3 * hidden].reshape(P, T, hidden)
         if rot:
             cos = cos_ref[:].astype(f32)[None]
             sin = sin_ref[:].astype(f32)[None]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, T, hidden), 2)
-            even = (lane % 2) == 0
-
-            def rope(z):
-                up = pltpu.roll(z, hidden - 1, axis=2)
-                down = pltpu.roll(z, 1, axis=2)
-                return z * cos + jnp.where(even, -up, down) * sin
-
-            q, k = rope(q), rope(k)
+            qr = qkv[:, 3 * hidden:4 * hidden].reshape(P, T, hidden)
+            kr = qkv[:, 4 * hidden:].reshape(P, T, hidden)
+            q = q * cos + qr * sin
+            k = k * cos + kr * sin
         if G > 1:
             # block-diagonal sequence packing: G sequences share one
             # (R, R) score matrix; bias_ref is pre-tiled with -1e9 on
@@ -979,6 +979,14 @@ def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = None,
     return best
 
 
+def _pair_swap_neg(w):
+    """Signed pair swap on the LAST axis: out[..., 2i] = -w[..., 2i+1],
+    out[..., 2i+1] = w[..., 2i] — the linear map R with rot(z) =
+    z*cos + R(z)*sin (RoPE rotate-half, interleaved pairs)."""
+    w2 = w.reshape(w.shape[:-1] + (w.shape[-1] // 2, 2))
+    return jnp.stack([-w2[..., 1], w2[..., 0]], axis=-1).reshape(w.shape)
+
+
 def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
                    heads, dim_head, rotary, eps, interpret):
     _ensure_pallas()
@@ -992,6 +1000,28 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
         for hd in range(heads):
             cos_np[:, hd * dim_head : hd * dim_head + rot] = c
             sin_np[:, hd * dim_head : hd * dim_head + rot] = s
+
+    # Fold the inner LayerNorm's scale/bias and the q 1/sqrt(d) scale into
+    # the qkv projection, and append signed pair-swapped q/k column blocks
+    # (RoPE's rotate-half as extra MXU columns — no lane rolls in-kernel).
+    w_qkv = w_qkv.astype(jnp.float32)
+    w_eff = ln_scale.astype(jnp.float32)[:, None] * w_qkv
+    b_eff = ln_bias.astype(jnp.float32) @ w_qkv  # (3*hidden,)
+    scale = dim_head ** -0.5
+    wq = w_eff[:, :hidden] * scale
+    bq = b_eff[:hidden] * scale
+    wkv, bkv = w_eff[:, hidden:], b_eff[hidden:]
+    if rot:
+        wk = w_eff[:, hidden:2 * hidden]
+        bk = b_eff[hidden:2 * hidden]
+        w_aug = jnp.concatenate(
+            [wq, wkv, _pair_swap_neg(wq), _pair_swap_neg(wk)], axis=1)
+        b_aug = jnp.concatenate(
+            [bq, bkv, _pair_swap_neg(bq), _pair_swap_neg(bk)])
+    else:
+        w_aug = jnp.concatenate([wq, wkv], axis=1)
+        b_aug = jnp.concatenate([bq, bkv])
+    n_aug = w_aug.shape[1]
     HR = _pick_hr(H, W, T, C, hidden=hidden)
     G, Tp = _pick_seq_pack(HR * W, T)
     if G > 1:
@@ -1019,9 +1049,8 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
         in_specs=[
             x_spec,
             const((1, C)),            # cln gamma
-            const((1, C)),            # ln scale
-            const((1, C)),            # ln bias
-            const((C, 3 * hidden)),   # w_qkv
+            const((C, n_aug)),        # augmented w_qkv (LN folded, +R blocks)
+            const((1, n_aug)),        # augmented qkv bias (f32)
             const((hidden, C)),       # w_proj
             const((heads, NB, NB)),   # bias (pre-tiled when packed)
             const((T, hidden)),       # cos
@@ -1041,9 +1070,8 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(x, gamma_cln.reshape(1, C).astype(x.dtype),
-      ln_scale.reshape(1, C).astype(jnp.float32),
-      ln_bias.reshape(1, C).astype(jnp.float32),
-      w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
+      w_aug.astype(x.dtype), b_aug.reshape(1, n_aug),
+      w_proj.astype(x.dtype),
       bias_in,
       jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype))
 

@@ -43,14 +43,18 @@ SHIFT = (2, 2, 2)
 TIME_DIM = 256  # dim * 4
 
 
+def _sync(out):
+    # index ON DEVICE so only one element crosses the (slow) tunnel
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf[tuple(0 for _ in leaf.shape)]))
+
+
 def timed_ms(fn, *args, iters=5):
-    out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    _sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return max(0.0, float(np.median(ts)) * 1e3 - RTT_MS)
 
