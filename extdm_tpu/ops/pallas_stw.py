@@ -221,7 +221,7 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
     hidden = heads * dim_head
     f32 = jnp.float32
 
-    def kernel(ids_ref, x_ref, gamma_ref, wqkv_ref, wproj_ref, bproj_ref,
+    def kernel(ids_ref, x_ref, wqkv_ref, wproj_ref, bproj_ref,
                bias_ref, cos_ref, sin_ref, mask_ref, o_ref):
         # NOTE on Mosaic layout limits: the lane (minor) dim must never be
         # reshaped. q/k/v and heads are extracted with lane *slices*; the
@@ -231,7 +231,8 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
         # --- channel LayerNorm (gamma only, biased var) ---------------
         mean = xb.mean(-1, keepdims=True)
         var = ((xb - mean) ** 2).mean(-1, keepdims=True)
-        h = (xb - mean) * jax.lax.rsqrt(var + eps) * gamma_ref[0].astype(f32)
+        # gamma is folded into wqkv_ref host-side (_fused_padded)
+        h = (xb - mean) * jax.lax.rsqrt(var + eps)
         # --- regroup into windows: token order (t, h, w) per window ---
         h = h.reshape(KT, wd, wh, nww, ww, C)
         h = h.transpose(0, 3, 1, 2, 4, 5).reshape(W8 * N, C)
@@ -353,8 +354,7 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
         grid=(B, n_tw // KT, n_hw),
         in_specs=[
             x_spec,
-            const((1, C)),              # gamma
-            const((C, 3 * hidden)),     # w_qkv
+            const((C, 3 * hidden)),     # w_qkv (gamma folded in)
             const((hidden, C)),         # w_proj
             const((1, C)),              # b_proj
             const((heads, N, N)),       # bias
@@ -377,8 +377,10 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
-    )(ids_in, x, gamma.reshape(1, C).astype(x.dtype),
-      w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
+    )(ids_in, x,
+      (gamma.astype(jnp.float32)[:, None]
+       * w_qkv.astype(jnp.float32)).astype(x.dtype),
+      w_proj.astype(x.dtype),
       b_proj.reshape(1, C).astype(jnp.float32),
       bias_hnn.astype(jnp.float32), cos, sin, masks_in)
 
