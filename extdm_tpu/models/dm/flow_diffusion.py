@@ -309,14 +309,20 @@ class FlowDiffusion:
         video: Array,
     ) -> Tuple[Array, Dict[str, Array]]:
         """video: (B, tc+tp, H, W, C) in [0,1]. Returns (eps-loss, aux)."""
-        from extdm_tpu.ops import pallas_stw
+        from extdm_tpu.ops import pallas_resnet, pallas_stw
 
-        if pallas_stw.backward_kernels_enabled():
-            # fused attention layers train with dedicated pallas backward
-            # kernels (custom_vjp) — forward AND backward are single-pass.
-            return self._loss_impl(lfae_variables, unet_variables, key, video)
-        with pallas_stw.inference_only_scope():
-            return self._loss_impl(lfae_variables, unet_variables, key, video)
+        with pallas_resnet.inference_only_scope():
+            # the resnet kernel has no dedicated backward: pallas forward
+            # + XLA-recompute backward is a net loss for training, so the
+            # loss trace always uses the XLA resnet path.
+            if pallas_stw.backward_kernels_enabled():
+                # fused attention layers train with dedicated pallas
+                # backward kernels — forward AND backward single-pass.
+                return self._loss_impl(lfae_variables, unet_variables,
+                                       key, video)
+            with pallas_stw.inference_only_scope():
+                return self._loss_impl(lfae_variables, unet_variables,
+                                       key, video)
 
     def _loss_impl(self, lfae_variables, unet_variables, key, video):
         cfg = self.cfg

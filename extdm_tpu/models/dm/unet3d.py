@@ -97,20 +97,53 @@ class ResnetBlock3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb=None):
+        from extdm_tpu.ops import pallas_resnet
+
+        film = None
         scale_shift = None
         if time_emb is not None:
             h = nn.silu(time_emb)
-            h = nn.Dense(self.features * 2, kernel_init=torch_kernel_init,
-                         bias_init=torch_bias_init(time_emb.shape[-1]),
-                         dtype=self.dtype, name="mlp")(h)
-            h = h[:, None, None, None, :]
-            scale_shift = jnp.split(h, 2, axis=-1)
-        out = Block3d(self.features, self.groups, self.dtype, name="block1")(x, scale_shift)
-        out = Block3d(self.features, self.groups, self.dtype, name="block2")(out)
+            film = nn.Dense(self.features * 2, kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(time_emb.shape[-1]),
+                            dtype=self.dtype, name="mlp")(h)
+            hh = film[:, None, None, None, :]
+            scale_shift = jnp.split(hh, 2, axis=-1)
+        b1 = Block3d(self.features, self.groups, self.dtype, name="block1")
+        b2 = Block3d(self.features, self.groups, self.dtype, name="block2")
+        rc = None
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1, 1), kernel_init=torch_kernel_init,
-                        bias_init=torch_bias_init(x.shape[-1]), dtype=self.dtype,
-                        name="res_conv")(x)
+            rc = nn.Conv(self.features, (1, 1, 1), kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(x.shape[-1]), dtype=self.dtype,
+                         name="res_conv")
+        if (not self.is_initializing()) and pallas_resnet.enabled() \
+                and pallas_resnet.supported(
+                    x.shape, x.shape[-1], self.features, self.groups):
+            # fused whole-block pallas path: both convs, GroupNorms, FiLM,
+            # SiLUs and the residual in one program per sample. Children
+            # are materialized on tiny slices only to define params (same
+            # tree as the XLA path -> checkpoint compatible).
+            hs, ws = min(x.shape[2], 8), min(x.shape[3], 8)
+            tiny = b1(x[:, :1, :hs, :ws], None)
+            _ = b2(tiny, None)
+            if rc is not None:
+                _ = rc(x[:, :1, :1, :1])
+            p1 = b1.variables["params"]
+            p2 = b2.variables["params"]
+            wres = bres = None
+            if rc is not None:
+                wres = rc.variables["params"]["kernel"][0, 0, 0]
+                bres = rc.variables["params"]["bias"]
+            return pallas_resnet.fused_resnet_block(
+                x,
+                p1["proj"]["Conv_0"]["kernel"], p1["proj"]["Conv_0"]["bias"],
+                p1["norm"]["scale"], p1["norm"]["bias"], film,
+                p2["proj"]["Conv_0"]["kernel"], p2["proj"]["Conv_0"]["bias"],
+                p2["norm"]["scale"], p2["norm"]["bias"],
+                wres, bres, groups=self.groups)
+        out = b1(x, scale_shift)
+        out = b2(out)
+        if rc is not None:
+            x = rc(x)
         return out + x
 
 

@@ -1,0 +1,337 @@
+"""Fused time-conditioned ResnetBlock3d pallas kernel.
+
+Computes the whole reference ResnetBlock (conv(1,3,3) -> GroupNorm ->
+FiLM scale/shift -> SiLU, twice, + residual / 1x1x1 res_conv; reference
+``DenoiseNet_STWAtt_w_w_ref_adaptor_cross_multi_traj_ada_u22.py:238-279``)
+in ONE pallas program per sample: the activation crosses HBM exactly
+twice (read x, write out) instead of XLA's ~8 passes (conv writes, GN
+stats reads, normalize read+writes per block).
+
+TPU mapping:
+- The sample is flattened to a (S=T*H*W, C) slab (row-major, W minor) —
+  a layout-preserving reshape done in XLA. One grid program per batch
+  element holds the whole slab in VMEM; GroupNorm statistics (which span
+  all of T*H*W per group) therefore need no cross-program reduction.
+- The (1,3,3) conv never mixes frames, so it is 9 shifted matmuls over
+  the slab: per tap, matmul first, then a sublane ``pltpu.roll`` of the
+  f32 product by dy*W+dx rows (Mosaic cannot rotate sub-32-bit vectors,
+  so the bf16 inputs are never rolled), then a dest-row validity mask
+  (the roll preserves each row's w coordinate up to the dx step, so both
+  the H- and W-edge checks evaluate at the destination row index).
+- GroupNorm stats come from lane-wise sum/sumsq column vectors contracted
+  with an in-kernel one-hot group-averaging matrix (channels never leave
+  the lane dim; Mosaic forbids reshaping it).
+
+Backward falls back to the XLA module path via custom_vjp recompute; the
+training loss traces inside ``inference_only_scope`` so training keeps
+the pure-XLA forward (a pallas forward + full recompute backward is a
+net loss there — measured for the attention kernels too).
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from extdm_tpu.ops import pallas_stw
+
+_TRACE_DISABLED = False
+
+
+def enabled() -> bool:
+    """Fused resnet kernel is default-on for TPU inference traces;
+    EXTDM_PALLAS_RESNET=0 disables."""
+    if _TRACE_DISABLED:
+        return False
+    if os.environ.get("EXTDM_PALLAS_RESNET", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+@contextlib.contextmanager
+def inference_only_scope():
+    """Code traced inside uses the XLA module path (training loss)."""
+    global _TRACE_DISABLED
+    prev = _TRACE_DISABLED
+    _TRACE_DISABLED = True
+    try:
+        yield
+    finally:
+        _TRACE_DISABLED = prev
+
+
+def supported(shape, cin: int, cout: int, groups: int) -> bool:
+    """Static shape guards for the kernel path."""
+    B, T, H, W, C = shape
+    S = T * H * W
+    if S % 8 or cout % groups or C != cin:
+        return False
+    # VMEM estimate per program: x + h slabs (compute dtype) + the f32
+    # per-tap product and accumulator + the output block.
+    est = S * (2 * cin + 14 * cout)
+    return est <= 0.7 * pallas_stw._vmem_limit_bytes()
+
+
+# ------------------------------------------------------------------ reference
+def _gn(x, scale, bias, groups, eps):
+    B, T, H, W, C = x.shape
+    g = x.reshape(B, T, H, W, groups, C // groups).astype(jnp.float32)
+    mean = g.mean(axis=(1, 2, 3, 5), keepdims=True)
+    var = ((g - mean) ** 2).mean(axis=(1, 2, 3, 5), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    return g.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def resnet_block_reference(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+                           wres, bres, *, groups, eps=1e-5):
+    """Pure-jnp ResnetBlock matching the flax module path semantics:
+    convs/matmuls in x.dtype, GN statistics in f32, outputs cast back."""
+    dtype = x.dtype
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+
+    def conv(a, w, b):
+        y = jax.lax.conv_general_dilated(
+            a.astype(dtype), w.astype(dtype), (1, 1, 1),
+            ((0, 0), (1, 1), (1, 1)), dimension_numbers=dn)
+        return y + b.astype(dtype)
+
+    h = _gn(conv(x, w1, b1), g1s, g1b, groups, eps)
+    if film is not None:
+        scale, shift = jnp.split(film.astype(jnp.float32), 2, axis=-1)
+        h = h * (scale[:, None, None, None, :] + 1.0) + shift[:, None, None, None, :]
+    h = jax.nn.silu(h).astype(dtype)
+    h2 = jax.nn.silu(_gn(conv(h, w2, b2), g2s, g2b, groups, eps)).astype(dtype)
+    if wres is not None:
+        res = jnp.einsum("bthwc,cd->bthwd", x.astype(dtype), wres.astype(dtype))
+        res = res + bres.astype(dtype)
+    else:
+        res = x
+    return (h2 + res).astype(dtype)
+
+
+# -------------------------------------------------------------------- kernel
+def _make_kernel(S, Cin, Cout, Hd, Wd, G, has_film, has_res, hi_prec,
+                 eps, out_dtype):
+    cg = Cout // G
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if hi_prec else None
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+
+    def kernel(x_ref, w1_ref, b1_ref, g1s_ref, g1b_ref, fs_ref, fb_ref,
+               w2_ref, b2_ref, g2s_ref, g2b_ref, wr_ref, br_ref, o_ref):
+        x = x_ref[0]  # (S, Cin), compute dtype
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        w_pos = jax.lax.rem(rows, Wd)
+        h_pos = jax.lax.rem(rows // Wd, Hd)
+
+        def conv(a, w_ref, b_ref):
+            # 9 shifted matmuls; the tap shift is applied AFTER the
+            # matmul as a sublane roll of the f32 product (Mosaic has no
+            # sub-32-bit rotate, so the bf16 input is never rolled). The
+            # dest-row mask checks source validity: rolling by dy*W+dx
+            # keeps w except for the dx step, so both edge checks apply
+            # at the destination row index.
+            acc = jnp.broadcast_to(b_ref[:].astype(f32), (S, Cout))
+            for i, (dy, dx) in enumerate(
+                    (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)):
+                z = jax.lax.dot_general(
+                    a, w_ref[i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+                off = dy * Wd + dx
+                if off:
+                    z = pltpu.roll(z, (-off) % S, axis=0)
+                m = None
+                if dx == -1:
+                    m = w_pos >= 1
+                elif dx == 1:
+                    m = w_pos <= Wd - 2
+                if dy == -1:
+                    hm = h_pos >= 1
+                    m = hm if m is None else jnp.logical_and(m, hm)
+                elif dy == 1:
+                    hm = h_pos <= Hd - 2
+                    m = hm if m is None else jnp.logical_and(m, hm)
+                if m is not None:
+                    z = jnp.where(m, z, jnp.zeros_like(z))
+                acc = acc + z
+            return acc
+
+        ci = jax.lax.broadcasted_iota(jnp.int32, (Cout, Cout), 0) // cg
+        cj = jax.lax.broadcasted_iota(jnp.int32, (Cout, Cout), 1) // cg
+        P = (ci == cj).astype(f32)  # group-averaging matrix
+        n = float(S * cg)
+
+        def gn_silu(acc, s_ref, b_ref, fs, fb):
+            colsum = jnp.sum(acc, axis=0, keepdims=True)
+            colsq = jnp.sum(acc * acc, axis=0, keepdims=True)
+            mean = jax.lax.dot_general(
+                colsum, P, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST) / n
+            msq = jax.lax.dot_general(
+                colsq, P, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST) / n
+            var = msq - mean * mean
+            y = (acc - mean) * (jax.lax.rsqrt(var + eps)
+                                * s_ref[:].astype(f32)) + b_ref[:].astype(f32)
+            if fs is not None:
+                # film blocks are (1, 1, Cout): Mosaic requires the last
+                # two block dims to equal the array dims when not (8,128)
+                # multiples, so the per-b slice keeps a leading unit dim.
+                y = y * (fs[0].astype(f32) + 1.0) + fb[0].astype(f32)
+            return y * jax.nn.sigmoid(y)
+
+        h1 = gn_silu(conv(x, w1_ref, b1_ref), g1s_ref, g1b_ref,
+                     fs_ref if has_film else None,
+                     fb_ref if has_film else None)
+        h2 = gn_silu(conv(h1.astype(x.dtype), w2_ref, b2_ref),
+                     g2s_ref, g2b_ref, None, None)
+        if has_res:
+            res = jax.lax.dot_general(
+                x, wr_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            res = res + br_ref[:].astype(f32)
+        else:
+            res = x.astype(f32)
+        o_ref[0] = (h2 + res).astype(out_dtype)
+
+    return kernel
+
+
+def _kernel_impl(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
+                 groups, eps, interpret):
+    pallas_stw._ensure_pallas()
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+    B, T, H, W, Cin = x.shape
+    Cout = w1.shape[-1]
+    S = T * H * W
+    xs = x.reshape(B, S, Cin)
+    dtype = x.dtype
+
+    # (1,3,3,Cin,Cout) -> (tap=dy*3+dx, Cin, Cout), matching the kernel's
+    # (dy, dx) row-major tap loop.
+    w1c = w1.reshape(9, Cin, Cout).astype(dtype)
+    w2c = w2.reshape(9, Cout, Cout).astype(dtype)
+
+    has_film = film is not None
+    if has_film:
+        fs, fb = jnp.split(film.astype(jnp.float32), 2, axis=-1)
+    else:
+        fs = jnp.zeros((B, Cout), jnp.float32)
+        fb = jnp.zeros((B, Cout), jnp.float32)
+    fs = fs.reshape(B, 1, Cout)
+    fb = fb.reshape(B, 1, Cout)
+    has_res = wres is not None
+    if not has_res:
+        wres = jnp.zeros((Cin, Cout), dtype)
+        bres = jnp.zeros((Cout,), jnp.float32)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape))
+    perb = lambda shape: pl.BlockSpec(shape, lambda b: (b,) + (0,) * (len(shape) - 1))
+
+    kernel = _make_kernel(S, Cin, Cout, H, W, groups, has_film, has_res,
+                          dtype == jnp.float32, eps, dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            perb((1, S, Cin)),
+            const((9, Cin, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            perb((1, 1, Cout)),
+            perb((1, 1, Cout)),
+            const((9, Cout, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            const((Cin, Cout)),
+            const((1, Cout)),
+        ],
+        out_specs=perb((1, S, Cout)),
+        out_shape=jax.ShapeDtypeStruct((B, S, Cout), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=pallas_stw._vmem_limit_bytes()),
+        interpret=interpret,
+    )(xs, w1c, b1.reshape(1, Cout).astype(jnp.float32),
+      g1s.reshape(1, Cout).astype(jnp.float32),
+      g1b.reshape(1, Cout).astype(jnp.float32),
+      fs, fb, w2c,
+      b2.reshape(1, Cout).astype(jnp.float32),
+      g2s.reshape(1, Cout).astype(jnp.float32),
+      g2b.reshape(1, Cout).astype(jnp.float32),
+      wres.astype(dtype),
+      bres.reshape(1, Cout).astype(jnp.float32))
+    return out.reshape(B, T, H, W, Cout)
+
+
+# ------------------------------------------------------------- custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def _fused(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
+           groups, eps, interpret):
+    return _kernel_impl(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+                        wres, bres, groups, eps, interpret)
+
+
+def _fused_fwd(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
+               groups, eps, interpret):
+    out = _kernel_impl(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+                       wres, bres, groups, eps, interpret)
+    return out, (x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres)
+
+
+def _fused_bwd(groups, eps, interpret, res, g):
+    x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres = res
+    has_film = film is not None
+    has_res = wres is not None
+    args = [a for a in (x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+                        wres, bres)
+            if a is not None]
+
+    def ref(*flat):
+        it = iter(flat)
+        xx, ww1, bb1, gg1s, gg1b = (next(it) for _ in range(5))
+        ff = next(it) if has_film else None
+        ww2, bb2, gg2s, gg2b = (next(it) for _ in range(4))
+        wwr = next(it) if has_res else None
+        bbr = next(it) if has_res else None
+        return resnet_block_reference(xx, ww1, bb1, gg1s, gg1b, ff, ww2,
+                                      bb2, gg2s, gg2b, wwr, bbr,
+                                      groups=groups, eps=eps)
+
+    _, vjp = jax.vjp(ref, *args)
+    grads = list(vjp(g))
+    out = []
+    for a in (x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres):
+        out.append(grads.pop(0) if a is not None else None)
+    return tuple(out)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_resnet_block(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+                       wres=None, bres=None, *, groups=8, eps=1e-5,
+                       interpret=False):
+    """Whole ResnetBlock3d (ref :257-279) as one pallas program per sample.
+
+    x: (B, T, H, W, Cin). w1: (1, 3, 3, Cin, Cout) flax conv kernel,
+    b1: (Cout,). g1s/g1b: GroupNorm scale/bias. film: (B, 2*Cout)
+    time-MLP output (scale ++ shift) or None. w2/b2/g2s/g2b: second
+    block. wres/bres: optional 1x1x1 residual projection (Cin, Cout).
+    """
+    return _fused(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
+                  groups, eps, interpret)
