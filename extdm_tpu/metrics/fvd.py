@@ -77,7 +77,7 @@ def frechet_distance(feats_fake: np.ndarray, feats_real: np.ndarray) -> float:
     mu_real, sigma_real = compute_stats(feats_real)
     m = float(np.square(mu_gen - mu_real).sum())
     if feats_fake.shape[0] > 1:
-        s, _ = sqrtm(np.dot(sigma_gen, sigma_real), disp=False)
+        s = sqrtm(np.dot(sigma_gen, sigma_real))  # scipy>=1.18: no disp arg
         return float(np.real(m + np.trace(sigma_gen + sigma_real - s * 2)))
     return float(np.real(m))
 

@@ -83,7 +83,6 @@ class DMTrainer:
         shapes — so the pallas mega-kernels (ops/pallas_stw.py) run
         per-chip without XLA inserting resharding collectives around them.
         """
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         rep = P()
@@ -108,10 +107,10 @@ class DMTrainer:
             aux["grad_norm"] = optax.global_norm(grads)
             return new_state, aux
 
-        fn = shard_map(
+        fn = jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(rep, rep, rep, data),
             out_specs=(rep, rep),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
