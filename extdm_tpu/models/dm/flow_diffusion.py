@@ -427,6 +427,78 @@ class FlowDiffusion:
 
         return sampler
 
+    def make_sharded_sampler(self, lfae_variables, unet_variables, mesh,
+                             decode: bool = True):
+        """Data-parallel sampler: the batch axis (videos x trajectories —
+        the eval protocol's 100 trajectories/video are embarrassingly
+        parallel) is sharded over the mesh's 'data' axis with shard_map,
+        so each chip runs the same per-chip program as `make_sampler`
+        (pallas mega-kernels see LOCAL shapes; no GSPMD resharding).
+
+        Per-shard PRNG: shard i draws with fold_in(key, i) — a batch entry
+        on shard i of the sharded sampler matches the plain sampler run on
+        that shard's slice with the folded key (tests/test_parallel.py).
+
+        Returns fn(key, cond_video) -> same dict as `make_sampler`;
+        cond_video's leading dim must divide by mesh.shape['data'].
+        """
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg
+        tc, tp = cfg.cond_frames, cfg.pred_frames
+        n_data = mesh.shape["data"]
+        rep, data = P(), P("data")
+
+        def local_body(lv, uv, key, cond_video):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            enc = self.lfae.apply(lv, cond_video, tc, method=LFAE.encode_video)
+            fea = None
+            if cfg.use_ref_features:
+                fea = self.lfae.apply(lv, cond_video, tc, tp,
+                                      method=LFAE.ref_features)
+            x_cond = self.latents_from_encode(enc)
+            cache = self.cond_cache(uv, x_cond, fea)
+            pred = self.diffusion.sample(self.denoise_fn(uv, cache), key,
+                                         x_cond, tp, fea)
+            sample_flow = jnp.concatenate(
+                [enc["flow"], self.flow_from_pred(pred)], axis=1)
+            sample_conf = None
+            if enc["conf"] is not None:
+                sample_conf = jnp.concatenate(
+                    [enc["conf"], (pred[..., 2:3] + 1.0) * 0.5], axis=1)
+            out = {
+                "sample_vid_grid": sample_flow,
+                "sample_vid_conf": sample_conf,
+                "real_vid_grid": enc["flow"],
+                "real_vid_conf": enc["conf"],
+            }
+            if decode:
+                dec = self.lfae.apply(lv, cond_video[:, tc - 1],
+                                      sample_flow[:, tc:],
+                                      _pred_conf(sample_conf, tc),
+                                      method=LFAE.decode_flows)
+                out["sample_out_vid"] = jnp.concatenate(
+                    [cond_video.astype(dec["out_vid"].dtype), dec["out_vid"]],
+                    axis=1)
+                out["sample_warped_vid"] = jnp.concatenate(
+                    [cond_video.astype(dec["warped_vid"].dtype),
+                     dec["warped_vid"]], axis=1)
+            return out
+
+        sharded = jax.jit(jax.shard_map(
+            local_body, mesh=mesh,
+            in_specs=(rep, rep, rep, data), out_specs=data,
+            check_vma=False,
+        ))
+
+        def sampler(key, cond_video):
+            assert cond_video.shape[0] % n_data == 0, (
+                f"batch {cond_video.shape[0]} must divide mesh data axis "
+                f"{n_data}")
+            return sharded(lfae_variables, unet_variables, key, cond_video)
+
+        return sampler
+
     def sample_video(
         self,
         lfae_variables,

@@ -56,6 +56,10 @@ def main():
     p.add_argument("--dump_flow", action="store_true",
                    help="save GT-vs-predicted flow/conf visualizations "
                         "(ref valid_with_generate_flow_and_conf.py)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard the (videos x trajectories) batch axis over "
+                        "this many devices (data-parallel eval; batch_size *"
+                        " num_sample_video must divide it)")
     p.add_argument("--dump_arrays", action="store_true",
                    help="save origin/result (+ flows, with --dump_flow) arrays "
                         "for scripts/analyze_dumps.py (ref origin.pt/result.pt dumps)")
@@ -104,7 +108,14 @@ def main():
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=8,
                         drop_last=False, seed=args.seed)
 
-    sample_fn = fd.make_sampler(lfae_vars, unet_vars)
+    if args.mesh_data > 1:
+        from extdm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1, devices=jax.devices()[: args.mesh_data])
+        sample_fn = fd.make_sharded_sampler(lfae_vars, unet_vars, mesh)
+        print(f"data-parallel eval over {args.mesh_data} devices")
+    else:
+        sample_fn = fd.make_sampler(lfae_vars, unet_vars)
 
     n_traj = args.num_sample_video
     real_all, sample_all = [], []

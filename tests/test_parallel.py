@@ -103,3 +103,46 @@ class TestShardMapTrainStep:
         # params identical across devices (replicated out_spec)
         leaf = jax.tree_util.tree_leaves(new_state.unet_params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestShardedSampler:
+    def test_matches_per_shard_plain_sampler(self, devices):
+        """Sharded sampler == plain sampler run per shard with fold_in(key, i)."""
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        n = 4
+        mesh = make_mesh(model=1, devices=devices[:n])
+        fd = ge._tiny_fd()
+        lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+        tc = fd.cfg.cond_frames
+
+        B = 2 * n
+        cond = jnp.asarray(
+            np.random.RandomState(0).rand(B, tc, 32, 32, 3), np.float32)
+        key = jax.random.PRNGKey(7)
+
+        sharded = fd.make_sharded_sampler(lfae_vars, unet_vars, mesh)
+        out = sharded(key, shard_batch(cond, mesh))
+        vid = np.asarray(out["sample_out_vid"])
+        assert vid.shape == (B, tc + fd.cfg.pred_frames, 32, 32, 3)
+        assert np.isfinite(vid).all()
+
+        plain = fd.make_sampler(lfae_vars, unet_vars)
+        per = B // n
+        for i in range(n):
+            ref = plain(jax.random.fold_in(key, i), cond[i * per:(i + 1) * per])
+            np.testing.assert_allclose(
+                vid[i * per:(i + 1) * per],
+                np.asarray(ref["sample_out_vid"]), rtol=2e-5, atol=2e-5)
+
+    def test_batch_divisibility_assert(self, devices):
+        import __graft_entry__ as ge
+
+        mesh = make_mesh(model=1, devices=devices[:4])
+        fd = ge._tiny_fd()
+        lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+        sharded = fd.make_sharded_sampler(lfae_vars, unet_vars, mesh)
+        bad = jnp.zeros((3, fd.cfg.cond_frames, 32, 32, 3), jnp.float32)
+        with pytest.raises(AssertionError):
+            sharded(jax.random.PRNGKey(0), bad)
