@@ -9,6 +9,7 @@ the reference (model/LFAE/sync_batchnorm/) collapses to flax BatchNorm.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -112,11 +113,32 @@ class Dense(nn.Module):
         )(x)
 
 
+# SyncBN under shard_map: GSPMD/pjit computes BN statistics over the global
+# batch automatically, but an explicit shard_map body sees LOCAL shapes, so
+# cross-replica stats need flax's axis_name pmean. This trace-time context
+# switches every BatchNorm in the model at once (reference vendors
+# Synchronized-BatchNorm-PyTorch for the same purpose,
+# model/LFAE/sync_batchnorm/batchnorm.py:48-80).
+_SYNC_BN_AXIS: "list[str | None]" = [None]
+
+
+@contextlib.contextmanager
+def sync_bn_axis(axis_name: str):
+    """Within this scope (wrap the *traced* body, e.g. inside a shard_map
+    function), BatchNorm reduces batch statistics across `axis_name`."""
+    _SYNC_BN_AXIS.append(axis_name)
+    try:
+        yield
+    finally:
+        _SYNC_BN_AXIS.pop()
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch hyper-params (eps 1e-5, momentum 0.1).
 
     Cross-replica by construction: statistics are taken over the *global*
     batch under pjit, which is exactly what the reference's SyncBN does.
+    Under an explicit shard_map, wrap the body in `sync_bn_axis("data")`.
     """
 
     use_running_average: bool
@@ -129,6 +151,7 @@ class BatchNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
+            axis_name=_SYNC_BN_AXIS[-1],
             name="bn",
         )(x)
 

@@ -107,3 +107,61 @@ class AETrainer:
 
     def jitted_train_step(self, donate: bool = True):
         return jax.jit(self.train_step, donate_argnums=(0,) if donate else ())
+
+    def shard_mapped_train_step(self, mesh, donate: bool = True):
+        """Explicit data-parallel AE step over the mesh 'data' axis:
+        params/opt-state replicated, batch sharded, grads pmean-ed, and
+        BatchNorm statistics reduced cross-replica via `sync_bn_axis`
+        (true SyncBN — the reference vendors
+        Synchronized-BatchNorm-PyTorch for this, SURVEY §2.7). The body
+        sees LOCAL shapes, so per-chip kernels run unchanged."""
+        from jax.sharding import PartitionSpec as P
+
+        from extdm_tpu.nn.layers import sync_bn_axis
+
+        rep, data = P(), P("data")
+
+        def local_step(state, key, batch):
+            # decorrelate per-shard TPS equivariance transforms
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+            def loss_fn(params, lw):
+                with sync_bn_axis("data"):
+                    (losses, _generated), mutated = self.model.apply(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch,
+                        rngs={"tps": key},
+                        mutable=["batch_stats"],
+                    )
+                # per-item losses pmean to the global-batch mean
+                losses = jax.lax.pmean(losses, "data")
+                return self._total_loss(losses, lw), (losses,
+                                                      mutated["batch_stats"])
+
+            if self.learnable:
+                (total, (losses, new_stats)), grads = jax.value_and_grad(
+                    lambda t: loss_fn(t[0], t[1]), has_aux=True
+                )((state.params, state.loss_weights))
+                target = (state.params, state.loss_weights)
+            else:
+                (total, (losses, new_stats)), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, None), has_aux=True
+                )(state.params)
+                target = state.params
+            grads = jax.lax.pmean(grads, "data")
+            updates, opt_state = self.tx.update(grads, state.opt_state, target)
+            new_target = optax.apply_updates(target, updates)
+            params, lw = (new_target if self.learnable else (new_target, None))
+            new_state = AETrainState(step=state.step + 1, params=params,
+                                     batch_stats=new_stats, loss_weights=lw,
+                                     opt_state=opt_state)
+            aux = dict(losses)
+            aux["loss_total"] = total
+            return new_state, aux
+
+        fn = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(rep, rep, data), out_specs=(rep, rep),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())

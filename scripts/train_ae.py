@@ -39,6 +39,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--valid_every", type=int, default=None)
     p.add_argument("--learnable_loss_weights", action="store_true")
+    p.add_argument("--shard_map", action="store_true",
+                   help="explicit shard_map DP step with cross-replica "
+                        "SyncBN instead of the GSPMD/pjit path")
     args = p.parse_args()
 
     from extdm_tpu.config import ae_model_kwargs, load_config
@@ -101,7 +104,11 @@ def main():
             start_step = start_step_from_example(ckpt["example"], batch_size)
         print(f"resumed from {args.checkpoint} at step {start_step}")
 
-    step_fn = trainer.jitted_train_step()
+    if args.shard_map:
+        step_fn = trainer.shard_mapped_train_step(mesh)
+        print("explicit shard_map DP train step (SyncBN over 'data')")
+    else:
+        step_fn = trainer.jitted_train_step()
     timer = StepTimer()
     step = start_step
     max_steps = args.max_steps or (tp["max_epochs"] * max(len(loader), 1))

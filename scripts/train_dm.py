@@ -138,6 +138,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--path", type=int, default=0, help="1 -> THW bias variant")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--shard_map", action="store_true",
+                   help="explicit shard_map DP step (per-chip pallas "
+                        "kernels) instead of the GSPMD/pjit path")
     p.add_argument("--valid_every", type=int, default=0,
                    help="run validation every N steps (0 = off)")
     p.add_argument("--valid_videos", type=int, default=16)
@@ -193,7 +196,11 @@ def main():
 
     mesh = make_mesh()
     print(f"mesh: {dict(mesh.shape)}")
-    step_fn = trainer.jitted_train_step()
+    if args.shard_map:
+        step_fn = trainer.shard_mapped_train_step(mesh)
+        print("explicit shard_map DP train step")
+    else:
+        step_fn = trainer.jitted_train_step()
     timer = StepTimer()
     step = start_step
     best_fvd = float("inf")

@@ -146,3 +146,91 @@ class TestShardedSampler:
         bad = jnp.zeros((3, fd.cfg.cond_frames, 32, 32, 3), jnp.float32)
         with pytest.raises(AssertionError):
             sharded(jax.random.PRNGKey(0), bad)
+
+
+class TestSyncBN:
+    def test_shard_map_bn_matches_global_batch(self, devices):
+        """BatchNorm under shard_map + sync_bn_axis == single-device
+        global-batch BN: same outputs and same updated running stats
+        (the reference's SyncBN contract, sync_batchnorm/batchnorm.py)."""
+        import flax.linen as nn
+
+        from extdm_tpu.nn.layers import BatchNorm, sync_bn_axis
+        from jax.sharding import PartitionSpec as P
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return BatchNorm(use_running_average=False)(x)
+
+        m = M()
+        x = jnp.asarray(np.random.RandomState(0).rand(16, 6, 6, 5), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x[:2])
+
+        ref_out, ref_mut = m.apply(variables, x, mutable=["batch_stats"])
+
+        mesh = make_mesh(model=1, devices=devices)  # 8-way data
+
+        def body(v, xl):
+            with sync_bn_axis("data"):
+                return m.apply(v, xl, mutable=["batch_stats"])
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=(P("data"), P()), check_vma=False))
+        out, mut = fn(variables, x)
+
+        # pmean-of-moments vs one global reduction: same math, different
+        # float accumulation order
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-4, atol=1e-5)
+        ref_stats = jax.tree_util.tree_leaves(ref_mut["batch_stats"])
+        got_stats = jax.tree_util.tree_leaves(mut["batch_stats"])
+        for a, b in zip(got_stats, ref_stats):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestAEShardMapStep:
+    def test_ae_dp_step(self, devices):
+        from extdm_tpu.models.lfae import ReconstructionModel
+        from extdm_tpu.train.ae_trainer import AETrainer, make_optimizer
+
+        model = ReconstructionModel(
+            region_predictor_cfg=dict(block_expansion=8, max_features=32,
+                                      num_blocks=2, scale_factor=0.5, pad=0),
+            bg_predictor_cfg=dict(block_expansion=8, max_features=32,
+                                  num_blocks=2, bg_type="affine"),
+            generator_cfg=dict(
+                block_expansion=8, max_features=32, num_down_blocks=2,
+                num_bottleneck_blocks=1, skips=True,
+                pixelwise_flow_predictor_params=dict(
+                    block_expansion=8, max_features=32, num_blocks=2,
+                    scale_factor=0.5, use_deformed_source=True,
+                    use_covar_heatmap=True, estimate_occlusion_map=True)),
+            num_regions=3,
+            loss_weights=dict(perceptual=[1, 1, 1, 1, 1],
+                              equivariance_shift=10,
+                              equivariance_affine=10, reconstruction=1),
+            transform_params=dict(sigma_affine=0.05, sigma_tps=0.005,
+                                  points_tps=5),
+            scales=(1.0, 0.5),
+        )
+        mesh = make_mesh(model=1, devices=devices[:4])
+        rs = np.random.RandomState(0)
+        batch = {
+            "source": jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32),
+            "driving": jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "tps": jax.random.PRNGKey(1)},
+            jax.tree_util.tree_map(lambda a: a[:2], batch))
+        trainer = AETrainer(model, make_optimizer(1e-4, [100], 0.5))
+        state = trainer.init_state(variables)
+        batch = jax.tree_util.tree_map(lambda a: shard_batch(a, mesh), batch)
+        step = trainer.shard_mapped_train_step(mesh, donate=False)
+        new_state, aux = step(state, jax.random.PRNGKey(2), batch)
+        assert np.isfinite(float(aux["loss_total"]))
+        assert int(new_state.step) == 1
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert leaf.sharding.is_fully_replicated
