@@ -30,8 +30,14 @@ class AETrainState:
 
 
 
-def make_optimizer(lr: float, milestones, gamma: float) -> optax.GradientTransformation:
-    return optax.adam(multi_step(lr, milestones, gamma), b1=0.5, b2=0.999)
+def make_optimizer(lr: float, milestones, gamma: float,
+                   nan_guard: int = 0) -> optax.GradientTransformation:
+    """Adam(betas=(0.5, 0.999)) as ref scripts/AE/train.py:101-115;
+    nan_guard skips non-finite steps in-graph (see dm_trainer)."""
+    tx = optax.adam(multi_step(lr, milestones, gamma), b1=0.5, b2=0.999)
+    if nan_guard > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=nan_guard)
+    return tx
 
 
 class AETrainer:

@@ -32,9 +32,27 @@ class DMTrainState:
 
 
 def make_optimizer(lr: float, milestones, gamma: float,
-                   weight_decay: float = 0.01) -> optax.GradientTransformation:
-    """AdamW(lr, default betas), MultiStepLR (ref :94-101,136)."""
-    return optax.adamw(multi_step(lr, milestones, gamma), weight_decay=weight_decay)
+                   weight_decay: float = 0.01,
+                   nan_guard: int = 0) -> optax.GradientTransformation:
+    """AdamW(lr, default betas), MultiStepLR (ref :94-101,136).
+
+    nan_guard > 0 enables failure detection the reference lacks (SURVEY
+    §5: recovery = manual restart): a step with non-finite grads/params
+    is skipped in-graph (no host sync, works under jit/shard_map), and
+    training errors out after `nan_guard` consecutive bad steps instead
+    of silently corrupting the params."""
+    tx = optax.adamw(multi_step(lr, milestones, gamma), weight_decay=weight_decay)
+    if nan_guard > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=nan_guard)
+    return tx
+
+
+def notfinite_count(opt_state) -> "jnp.ndarray | None":
+    """Consecutive skipped-step counter when the optimizer was built with
+    nan_guard (None otherwise) — surface it in training logs."""
+    if hasattr(opt_state, "notfinite_count"):
+        return opt_state.notfinite_count
+    return None
 
 
 class DMTrainer:

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--valid_every", type=int, default=None)
     p.add_argument("--learnable_loss_weights", action="store_true")
+    p.add_argument("--nan_guard", type=int, default=0,
+                   help="skip non-finite update steps in-graph; error after "
+                        "N consecutive bad steps (0 = off)")
     p.add_argument("--shard_map", action="store_true",
                    help="explicit shard_map DP step with cross-replica "
                         "SyncBN instead of the GSPMD/pjit path")
@@ -90,7 +93,8 @@ def main():
     print(f"LFAE parameters: {n_params/1e6:.2f}M")
 
     sched = tp["scheduler_param"]
-    trainer = AETrainer(model, make_optimizer(tp["lr"], sched["milestones"], sched["gamma"]),
+    trainer = AETrainer(model, make_optimizer(tp["lr"], sched["milestones"], sched["gamma"],
+                                              nan_guard=args.nan_guard),
                         learnable_loss_weights=args.learnable_loss_weights)
     state = trainer.init_state(variables)
 

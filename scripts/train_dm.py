@@ -138,6 +138,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--path", type=int, default=0, help="1 -> THW bias variant")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--nan_guard", type=int, default=0,
+                   help="skip non-finite update steps in-graph; error after "
+                        "N consecutive bad steps (0 = off)")
     p.add_argument("--shard_map", action="store_true",
                    help="explicit shard_map DP step (per-chip pallas "
                         "kernels) instead of the GSPMD/pjit path")
@@ -151,7 +154,8 @@ def main():
     from extdm_tpu.models.dm import FlowDiffusion
     from extdm_tpu.parallel import make_mesh, shard_batch
     from extdm_tpu.train import load_checkpoint, restore_like, save_checkpoint, start_step_from_example
-    from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+    from extdm_tpu.train.dm_trainer import (DMTrainer, make_optimizer,
+                                            notfinite_count)
     from extdm_tpu.utils import Logger, MetricLogger, StepTimer, setup_seed
 
     cfg_raw = load_config(args.config)
@@ -183,7 +187,9 @@ def main():
                         seed=args.seed)
 
     sched = tp["scheduler_param"]
-    trainer = DMTrainer(fd, make_optimizer(tp["lr"], sched["milestones"], sched["gamma"]))
+    trainer = DMTrainer(fd, make_optimizer(tp["lr"], sched["milestones"],
+                                           sched["gamma"],
+                                           nan_guard=args.nan_guard))
     state = trainer.init_state(unet_vars)
 
     start_step = 0
@@ -221,6 +227,9 @@ def main():
                 timer.mark_step(aux["loss"])
                 if step % print_freq == 0:
                     vals = {k: float(v) for k, v in aux.items()}
+                    nf = notfinite_count(state.opt_state)
+                    if nf is not None:
+                        vals["skipped_nonfinite"] = float(nf)
                     metrics_log.log(step, **vals, batch_time=timer.batch_time.avg,
                                     data_time=timer.data_time.avg)
                     print(f"step {step}: " + " ".join(f"{k}={v:.5f}" for k, v in vals.items()))

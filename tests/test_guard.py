@@ -1,0 +1,50 @@
+"""Failure detection: nan_guard skips non-finite update steps in-graph
+(the reference has no failure handling — SURVEY §5)."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import __graft_entry__ as ge  # noqa: E402
+from extdm_tpu.train.dm_trainer import (  # noqa: E402
+    DMTrainer,
+    make_optimizer,
+    notfinite_count,
+)
+
+
+def _leaf0(tree):
+    return np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+
+def test_nan_batch_is_skipped_then_recovers():
+    fd = ge._tiny_fd()
+    lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+    trainer = DMTrainer(fd, make_optimizer(1e-4, [100], 0.5, nan_guard=3))
+    state = trainer.init_state(unet_vars)
+    step = trainer.jitted_train_step(donate=False)
+
+    good = jnp.asarray(np.random.RandomState(0).rand(2, 4, 32, 32, 3),
+                       jnp.float32)
+    bad = good.at[0, 0, 0, 0, 0].set(jnp.nan)
+
+    p0 = _leaf0(state.unet_params)
+    state1, aux1 = step(state, lfae_vars, jax.random.PRNGKey(1), bad)
+    # params unchanged by the poisoned step, counter advanced
+    np.testing.assert_array_equal(_leaf0(state1.unet_params), p0)
+    assert int(notfinite_count(state1.opt_state)) == 1
+
+    state2, aux2 = step(state1, lfae_vars, jax.random.PRNGKey(2), good)
+    assert np.isfinite(float(aux2["loss"]))
+    assert int(notfinite_count(state2.opt_state)) == 0  # reset by good step
+    assert not np.array_equal(_leaf0(state2.unet_params), p0)  # updated
+
+
+def test_no_guard_returns_none_counter():
+    fd = ge._tiny_fd()
+    _, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+    trainer = DMTrainer(fd, make_optimizer(1e-4, [100], 0.5))
+    state = trainer.init_state(unet_vars)
+    assert notfinite_count(state.opt_state) is None
