@@ -82,8 +82,9 @@ class DataLoader:
             try:
                 for indices in batch_iter:
                     q.put(self._load_batch(indices))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # re-raised on the consumer side
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -91,4 +92,6 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -178,3 +178,22 @@ class TestBaseDatasets:
                                    total_videos=2, random_time=False, seed=0)
         assert len(ds2) == 2
         _ = ds2[1]
+
+
+class TestLoaderErrorPropagation:
+    def test_getitem_exception_reraised(self):
+        from extdm_tpu.data.loader import DataLoader
+
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise ValueError("poisoned item")
+                return np.zeros((2, 2), np.float32)
+
+        loader = DataLoader(Bad(), batch_size=2, shuffle=False, num_workers=0)
+        with pytest.raises(ValueError, match="poisoned"):
+            for _ in loader:
+                pass
