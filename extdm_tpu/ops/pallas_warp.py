@@ -27,6 +27,7 @@ Reference semantics: torch.nn.functional.grid_sample(align_corners=True),
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Tuple
@@ -50,7 +51,28 @@ def _ensure_pallas():
         globals()["pltpu"] = _pltpu
 
 
+_TRACE_DISABLED = False
+
+
+@contextlib.contextmanager
+def xla_path_scope():
+    """Trace-time gate: code traced inside uses the XLA gather path.
+
+    Used by SPMD-partitioned programs (e.g. the spatial-parallel sampler):
+    a pallas_call is a single-device program GSPMD cannot partition, so
+    stages whose operands may arrive sharded trace the pure-XLA path."""
+    global _TRACE_DISABLED
+    prev = _TRACE_DISABLED
+    _TRACE_DISABLED = True
+    try:
+        yield
+    finally:
+        _TRACE_DISABLED = prev
+
+
 def enabled() -> bool:
+    if _TRACE_DISABLED:
+        return False
     if os.environ.get("EXTDM_PALLAS", "1") != "1":
         return False
     if os.environ.get("EXTDM_PALLAS_WARP", "1") != "1":

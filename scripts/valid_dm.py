@@ -60,6 +60,12 @@ def main():
                    help="shard the (videos x trajectories) batch axis over "
                         "this many devices (data-parallel eval; batch_size *"
                         " num_sample_video must divide it)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="additionally shard the latent H axis of the DDIM "
+                        "denoise stage over this many devices (spatial/"
+                        "sequence parallelism via GSPMD; for configs whose "
+                        "UNet state exceeds one chip's HBM). Total devices "
+                        "used = mesh_data * mesh_model.")
     p.add_argument("--dump_arrays", action="store_true",
                    help="save origin/result (+ flows, with --dump_flow) arrays "
                         "for scripts/analyze_dumps.py (ref origin.pt/result.pt dumps)")
@@ -108,7 +114,16 @@ def main():
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=8,
                         drop_last=False, seed=args.seed)
 
-    if args.mesh_data > 1:
+    if args.mesh_model > 1:
+        from extdm_tpu.parallel import make_mesh
+
+        n_dev = args.mesh_data * args.mesh_model
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model,
+                         devices=jax.devices()[:n_dev])
+        sample_fn = fd.make_spatial_sampler(lfae_vars, unet_vars, mesh)
+        print(f"spatial-parallel eval: batch over {args.mesh_data} x "
+              f"latent-H over {args.mesh_model} devices")
+    elif args.mesh_data > 1:
         from extdm_tpu.parallel import make_mesh
 
         mesh = make_mesh(model=1, devices=jax.devices()[: args.mesh_data])

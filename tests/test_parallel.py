@@ -148,6 +148,52 @@ class TestShardedSampler:
             sharded(jax.random.PRNGKey(0), bad)
 
 
+class TestSpatialSampler:
+    def test_matches_plain_sampler(self, devices):
+        """Spatial (sequence-parallel) sampler == plain sampler: the GSPMD
+        partitioning of the DDIM stage over (data=2, model=2) — batch AND
+        latent-H sharded — must change nothing but float accumulation
+        order (halo exchanges + stat all-reduces are inserted by XLA)."""
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        mesh = make_mesh(data=2, model=2, devices=devices[:4])
+        fd = ge._tiny_fd()
+        lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+        tc = fd.cfg.cond_frames
+
+        B = 4
+        cond = jnp.asarray(
+            np.random.RandomState(1).rand(B, tc, 32, 32, 3), np.float32)
+        key = jax.random.PRNGKey(11)
+
+        plain = fd.make_sampler(lfae_vars, unet_vars)
+        ref = plain(key, cond)
+
+        spatial = fd.make_spatial_sampler(lfae_vars, unet_vars, mesh)
+        out = spatial(key, cond)
+
+        for k in ("sample_vid_grid", "sample_out_vid"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=2e-4)
+
+    def test_pure_spatial_mesh(self, devices):
+        """data axis of size 1: the whole batch on every shard, H split 4-way."""
+        import __graft_entry__ as ge
+
+        mesh = make_mesh(data=1, model=4, devices=devices[:4])
+        fd = ge._tiny_fd()
+        lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+        cond = jnp.asarray(
+            np.random.RandomState(2).rand(2, fd.cfg.cond_frames, 32, 32, 3),
+            np.float32)
+        out = fd.make_spatial_sampler(lfae_vars, unet_vars, mesh)(
+            jax.random.PRNGKey(3), cond)
+        vid = np.asarray(out["sample_out_vid"])
+        assert vid.shape == (2, fd.cfg.cond_frames + fd.cfg.pred_frames, 32, 32, 3)
+        assert np.isfinite(vid).all()
+
+
 class TestSyncBN:
     def test_shard_map_bn_matches_global_batch(self, devices):
         """BatchNorm under shard_map + sync_bn_axis == single-device
