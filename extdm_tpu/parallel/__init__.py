@@ -1,5 +1,6 @@
 from extdm_tpu.parallel.mesh import (
     batch_sharding,
+    make_data_mesh,
     make_mesh,
     param_shardings,
     replicated,
@@ -9,6 +10,7 @@ from extdm_tpu.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "make_data_mesh",
     "make_mesh",
     "param_shardings",
     "replicated",

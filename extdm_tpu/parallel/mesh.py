@@ -35,6 +35,24 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_data_mesh(batch_size: int,
+                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data mesh over the most devices the global batch divides.
+
+    Training scripts default to DP over every visible device; a batch
+    that doesn't divide the device count (e.g. batch 2 on a 4-chip
+    host) must fall back to fewer devices instead of a device_put error.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = min(len(devices), max(1, batch_size))
+    while batch_size % n:
+        n -= 1
+    if n < len(devices):
+        print(f"data mesh: batch {batch_size} not divisible by "
+              f"{len(devices)} devices; using {n}")
+    return make_mesh(data=n, model=1, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -50,7 +50,7 @@ def main():
     from extdm_tpu.config import ae_model_kwargs, load_config
     from extdm_tpu.data import DataLoader, DatasetRepeater, TwoFramesDataset
     from extdm_tpu.models.lfae import ReconstructionModel
-    from extdm_tpu.parallel import make_mesh, shard_batch
+    from extdm_tpu.parallel import make_data_mesh, shard_batch
     from extdm_tpu.train import AETrainer, load_checkpoint, save_checkpoint, start_step_from_example
     from extdm_tpu.train.ae_trainer import make_optimizer
     from extdm_tpu.utils import Logger, MetricLogger, StepTimer, setup_seed
@@ -81,7 +81,7 @@ def main():
                         seed=args.seed)
 
     model = ReconstructionModel(train=True, **ae_model_kwargs(cfg))
-    mesh = make_mesh()
+    mesh = make_data_mesh(batch_size)
     print(f"mesh: {dict(mesh.shape)}")
 
     init_batch = {

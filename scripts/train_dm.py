@@ -152,7 +152,7 @@ def main():
     from extdm_tpu.config import dm_config_from_yaml, load_config
     from extdm_tpu.data import DataLoader, VideoDataset, to_rgb_video
     from extdm_tpu.models.dm import FlowDiffusion
-    from extdm_tpu.parallel import make_mesh, shard_batch
+    from extdm_tpu.parallel import make_data_mesh, shard_batch
     from extdm_tpu.train import load_checkpoint, restore_like, save_checkpoint, start_step_from_example
     from extdm_tpu.train.dm_trainer import (DMTrainer, make_optimizer,
                                             notfinite_count)
@@ -200,7 +200,7 @@ def main():
             start_step = start_step_from_example(ckpt["example"], batch_size)
         print(f"resumed from {args.checkpoint} at step {start_step}")
 
-    mesh = make_mesh()
+    mesh = make_data_mesh(batch_size)
     print(f"mesh: {dict(mesh.shape)}")
     if args.shard_map:
         step_fn = trainer.shard_mapped_train_step(mesh)
