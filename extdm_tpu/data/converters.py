@@ -13,6 +13,15 @@ formats that need real parsing:
 - **BAIR robot-push tfrecords** via a dependency-free TFRecord +
   protobuf wire-format reader (tensorflow is not available in this
   environment, and the reference's own converter shells out to it).
+- **KTH** raw avi downloads with the person-based train/test split the
+  reference's dataset table implies (README.md:71: 479 train / 120 test
+  = persons 01-20 train (one corrupt clip upstream) / 21-25 test).
+- **Cityscapes** leftImg8bit_sequence 30-frame png snippets (center
+  width-crop to square, area resize).
+- **UCF-101** avis + ucfTrainTestlist splits into the single-store
+  layout `VideoDataset`'s UCF branch expects (num_train/num_test scalar
+  metadata, train videos first; frames kept at 240:320 aspect so the
+  loader's random/center width-crop applies, video_dataset.py:94-101).
 """
 from __future__ import annotations
 
@@ -85,6 +94,156 @@ def make_smmnist(
 
 
 # ------------------------------------------------- protobuf wire format
+
+
+def decode_video_file(
+    path: str,
+    size: Tuple[int, int] | None = None,
+    gray: bool = False,
+) -> np.ndarray:
+    """cv2-decode a video file -> (T, H, W[, C]) uint8, RGB (or gray).
+
+    `size` = (height, width) target, area-interpolated."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames: List[np.ndarray] = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        code = cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB
+        frame = cv2.cvtColor(frame, code)
+        if size is not None and frame.shape[:2] != size:
+            frame = cv2.resize(frame, (size[1], size[0]),
+                               interpolation=cv2.INTER_AREA)
+        frames.append(frame.astype(np.uint8))
+    cap.release()
+    if not frames:
+        return np.zeros((0,), np.uint8)
+    return np.stack(frames)
+
+
+# ----------------------------------------------------------------- KTH
+
+KTH_ACTIONS = ("boxing", "handclapping", "handwaving", "jogging",
+               "running", "walking")
+# Person split matching the reference dataset table (README.md:71,
+# 479 train / 120 test videos = 20/5 persons; one upstream train clip,
+# person01_boxing_d4, is truncated/corrupt in the official download).
+KTH_TRAIN_PERSONS = tuple(range(1, 21))
+KTH_TEST_PERSONS = tuple(range(21, 26))
+
+
+def kth_split(filename: str) -> str | None:
+    """'person13_handclapping_d3_uncomp.avi' -> 'train' | 'test' | None."""
+    base = os.path.basename(filename)
+    if not base.startswith("person"):
+        return None
+    try:
+        person = int(base[len("person"):len("person") + 2])
+    except ValueError:
+        return None
+    if person in KTH_TRAIN_PERSONS:
+        return "train"
+    if person in KTH_TEST_PERSONS:
+        return "test"
+    return None
+
+
+def iter_kth_videos(
+    kth_dir: str, image_size: int = 64
+) -> Iterator[Tuple[str, str, np.ndarray]]:
+    """Yield (split, filename, (T, H, W) uint8 gray video) for every KTH
+    avi under `kth_dir` (flat or per-action subdirs), person-split.
+
+    Frames are resized 120x160 -> image_size square (the stored layout
+    the reference's KTH h5 uses: VideoDataset reads them with no crop)."""
+    files = sorted(
+        glob.glob(os.path.join(kth_dir, "*.avi"))
+        + glob.glob(os.path.join(kth_dir, "*", "*.avi"))
+    )
+    assert files, f"no .avi files under {kth_dir}"
+    for path in files:
+        split = kth_split(path)
+        if split is None:
+            continue
+        video = decode_video_file(path, size=(image_size, image_size),
+                                  gray=True)
+        if video.size:
+            yield split, os.path.basename(path), video
+
+
+# ---------------------------------------------------------- Cityscapes
+
+
+def iter_cityscapes_videos(
+    sequence_dir: str, split: str, image_size: int = 64, snippet_len: int = 30
+) -> Iterator[np.ndarray]:
+    """Yield (T, S, S, 3) uint8 videos from a leftImg8bit_sequence tree.
+
+    Layout: <dir>/<split>/<city>/<city>_<seq>_<frame>_leftImg8bit.png in
+    30-frame snippets. Frames are center width-cropped 1024x2048 -> square
+    then area-resized (the reference table's 64px Cityscapes store)."""
+    import cv2
+
+    pattern = os.path.join(sequence_dir, split, "*", "*_leftImg8bit.png")
+    files = sorted(glob.glob(pattern))
+    assert files, f"no pngs match {pattern}"
+    groups: Dict[Tuple[str, str], List[str]] = {}
+    for f in files:
+        city, seq = os.path.basename(f).split("_")[:2]
+        groups.setdefault((city, seq), []).append(f)
+    for key in sorted(groups):
+        paths = sorted(groups[key])
+        frames = []
+        for p in paths[:snippet_len]:
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            h, w = img.shape[:2]
+            if w > h:
+                off = (w - h) // 2
+                img = img[:, off:off + h]
+            if img.shape[0] != image_size:
+                img = cv2.resize(img, (image_size, image_size),
+                                 interpolation=cv2.INTER_AREA)
+            frames.append(img.astype(np.uint8))
+        if frames:
+            yield np.stack(frames)
+
+
+# ------------------------------------------------------------- UCF-101
+
+
+def read_ucf_split_list(splits_dir: str, split: str, split_id: int = 1) -> List[str]:
+    """Parse ucfTrainTestlist train/testlist0<k>.txt -> relative avi paths
+    ('<Class>/v_<Class>_g01_c01.avi'; trainlist lines carry a label)."""
+    path = os.path.join(splits_dir, f"{split}list{split_id:02d}.txt")
+    out = []
+    with open(path) as f:
+        for line in f:
+            rel = line.strip().split()[0]
+            if rel:
+                out.append(rel.replace("\\", "/"))
+    return out
+
+
+def iter_ucf101_videos(
+    ucf_dir: str, splits_dir: str, image_size: int = 64, split_id: int = 1
+) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield ('train'|'test', (T, H, W', 3) uint8) UCF-101 videos, train
+    list first (the single-store layout `VideoDataset`'s UCF branch
+    expects: num_train/num_test scalars, train-first ordering,
+    video_dataset.py:55-62).
+
+    Frames keep the native 240:320 aspect — stored at
+    (image_size, image_size*320/240) so the loader's random/center
+    width-crop to square applies (ref data/video_dataset.py UCF branch)."""
+    size = (image_size, int(round(image_size / 240 * 320)))
+    for split in ("train", "test"):
+        for rel in read_ucf_split_list(splits_dir, split, split_id):
+            video = decode_video_file(os.path.join(ucf_dir, rel), size=size)
+            if video.size:
+                yield split, video
 
 
 def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:

@@ -144,6 +144,20 @@ class HDF5VideoWriter:
             self._new_shard()
         return idx
 
+    def set_scalar(self, name: str, value) -> None:
+        """Top-level scalar dataset in the FIRST shard (read back via
+        `HDF5VideoStore.attr`; UCF stores num_train/num_test this way)."""
+        if self.shard_number == 1:
+            if name in self.writer:
+                del self.writer[name]
+            self.writer[name] = value
+        else:
+            first = os.path.join(self.out_dir, self.name_fmt.format(1))
+            with h5py.File(first, "a") as f:
+                if name in f:
+                    del f[name]
+                f[name] = value
+
     def close(self):
         if self.writer is not None:
             self.writer.close()

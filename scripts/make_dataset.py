@@ -148,6 +148,31 @@ def main():
     bp.add_argument("--out", required=True)
     bp.add_argument("--split", default="train")
 
+    kp = sub.add_parser("kth", help="raw KTH avis -> person-split h5 stores "
+                                    "(train persons 01-20, test 21-25)")
+    kp.add_argument("--src", required=True, help="dir of KTH .avi files "
+                                                 "(flat or per-action)")
+    kp.add_argument("--out", required=True)
+    kp.add_argument("--image_size", type=int, default=64)
+
+    cp = sub.add_parser("cityscapes",
+                        help="leftImg8bit_sequence png tree -> h5 shards")
+    cp.add_argument("--src", required=True,
+                    help="leftImg8bit_sequence root (contains train/ val/)")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--image_size", type=int, default=64)
+    cp.add_argument("--splits", default="train:train,val:test",
+                    help="comma list of <src_split>:<out_split>")
+
+    up = sub.add_parser("ucf101",
+                        help="UCF-101 avis + ucfTrainTestlist -> single h5 "
+                             "store with num_train/num_test metadata")
+    up.add_argument("--src", required=True, help="UCF-101 root (class dirs)")
+    up.add_argument("--splits_dir", required=True, help="ucfTrainTestlist dir")
+    up.add_argument("--out", required=True)
+    up.add_argument("--image_size", type=int, default=64)
+    up.add_argument("--split_id", type=int, default=1)
+
     args = p.parse_args()
     if args.cmd == "shapes":
         from extdm_tpu.data import make_moving_shapes_dataset
@@ -175,6 +200,52 @@ def main():
             n += 1
         writer.close()
         print(f"wrote {n} videos to {args.out}/{args.split}")
+    elif args.cmd == "kth":
+        from extdm_tpu.data import HDF5VideoWriter
+        from extdm_tpu.data.converters import iter_kth_videos
+
+        writers = {s: HDF5VideoWriter(os.path.join(args.out, s), force=True)
+                   for s in ("train", "test")}
+        counts = {"train": 0, "test": 0}
+        for split, name, video in iter_kth_videos(args.src, args.image_size):
+            writers[split].add_video(list(video))
+            counts[split] += 1
+        for w in writers.values():
+            w.close()
+        print(f"wrote {counts['train']} train / {counts['test']} test "
+              f"videos to {args.out}")
+    elif args.cmd == "cityscapes":
+        from extdm_tpu.data import HDF5VideoWriter
+        from extdm_tpu.data.converters import iter_cityscapes_videos
+
+        for pair in args.splits.split(","):
+            src_split, out_split = pair.split(":")
+            writer = HDF5VideoWriter(os.path.join(args.out, out_split),
+                                     force=True)
+            n = 0
+            for video in iter_cityscapes_videos(args.src, src_split,
+                                                args.image_size):
+                writer.add_video(list(video))
+                n += 1
+            writer.close()
+            print(f"wrote {n} {src_split} videos to {args.out}/{out_split}")
+    elif args.cmd == "ucf101":
+        from extdm_tpu.data import HDF5VideoWriter
+        from extdm_tpu.data.converters import iter_ucf101_videos
+
+        # single store, train-first (VideoDataset UCF branch layout)
+        writer = HDF5VideoWriter(args.out, force=True)
+        counts = {"train": 0, "test": 0}
+        for split, video in iter_ucf101_videos(args.src, args.splits_dir,
+                                               args.image_size,
+                                               args.split_id):
+            writer.add_video(list(video))
+            counts[split] += 1
+        writer.set_scalar("num_train", counts["train"])
+        writer.set_scalar("num_test", counts["test"])
+        writer.close()
+        print(f"wrote {counts['train']} train + {counts['test']} test "
+              f"videos to {args.out}")
     elif args.cmd == "bair":
         from extdm_tpu.data import HDF5VideoWriter
         from extdm_tpu.data.converters import iter_bair_videos

@@ -142,3 +142,126 @@ class TestTFRecord:
         assert len(out) == 2
         for got, want in zip(out, vids):
             np.testing.assert_array_equal(got, want)
+
+
+def _write_avi(path, frames_gray):
+    """Write (T, H, W) uint8 as an MJPG avi via cv2."""
+    import cv2
+
+    h, w = frames_gray.shape[1:]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                         (w, h))
+    assert vw.isOpened()
+    for f in frames_gray:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+
+class TestKTH:
+    def test_person_split(self):
+        from extdm_tpu.data.converters import kth_split
+
+        assert kth_split("person01_boxing_d1_uncomp.avi") == "train"
+        assert kth_split("/x/person20_running_d4_uncomp.avi") == "train"
+        assert kth_split("person21_walking_d1_uncomp.avi") == "test"
+        assert kth_split("person25_jogging_d2_uncomp.avi") == "test"
+        assert kth_split("README.txt") is None
+
+    def test_iter_kth(self, tmp_path):
+        from extdm_tpu.data.converters import iter_kth_videos
+
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        rs = np.random.RandomState(0)
+        for name in ("person01_boxing_d1_uncomp.avi",
+                     "person22_boxing_d1_uncomp.avi"):
+            (tmp_path / "boxing").mkdir(exist_ok=True)
+            _write_avi(tmp_path / "boxing" / name,
+                       rs.randint(0, 256, (4, 120, 160), dtype=np.uint8))
+        got = list(iter_kth_videos(str(tmp_path), image_size=64))
+        assert [(s, n) for s, n, _ in got] == [
+            ("train", "person01_boxing_d1_uncomp.avi"),
+            ("test", "person22_boxing_d1_uncomp.avi")]
+        for _, _, vid in got:
+            assert vid.shape == (4, 64, 64) and vid.dtype == np.uint8
+
+
+class TestCityscapes:
+    def test_iter_cityscapes(self, tmp_path):
+        from extdm_tpu.data.converters import iter_cityscapes_videos
+
+        cv2 = pytest.importorskip("cv2")
+        rs = np.random.RandomState(0)
+        city = tmp_path / "train" / "aachen"
+        city.mkdir(parents=True)
+        # two 3-frame snippets (seq 000000 / 000001), 2:1 aspect like
+        # the real 1024x2048 frames
+        for seq in ("000000", "000001"):
+            for t in range(3):
+                img = rs.randint(0, 256, (64, 128, 3), dtype=np.uint8)
+                cv2.imwrite(
+                    str(city / f"aachen_{seq}_{t:06d}_leftImg8bit.png"),
+                    img)
+        vids = list(iter_cityscapes_videos(str(tmp_path), "train",
+                                           image_size=32, snippet_len=3))
+        assert len(vids) == 2
+        for v in vids:
+            assert v.shape == (3, 32, 32, 3) and v.dtype == np.uint8
+
+    def test_center_crop_is_square_from_middle(self, tmp_path):
+        from extdm_tpu.data.converters import iter_cityscapes_videos
+
+        cv2 = pytest.importorskip("cv2")
+        city = tmp_path / "val" / "munich"
+        city.mkdir(parents=True)
+        # left half black, center white: the square center crop keeps
+        # the middle band
+        img = np.zeros((32, 64, 3), np.uint8)
+        img[:, 16:48] = 255
+        cv2.imwrite(str(city / "munich_000000_000000_leftImg8bit.png"), img)
+        (v,) = iter_cityscapes_videos(str(tmp_path), "val", image_size=32,
+                                      snippet_len=1)
+        assert v.mean() > 250  # all-white crop
+
+
+class TestUCF101:
+    def test_split_list_and_store_layout(self, tmp_path):
+        from extdm_tpu.data import HDF5VideoStore, HDF5VideoWriter
+        from extdm_tpu.data.converters import (iter_ucf101_videos,
+                                               read_ucf_split_list)
+
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        rs = np.random.RandomState(0)
+        ucf = tmp_path / "UCF-101"
+        splits = tmp_path / "ucfTrainTestlist"
+        splits.mkdir()
+        (ucf / "Biking").mkdir(parents=True)
+        names = [f"Biking/v_Biking_g0{i}_c01.avi" for i in range(3)]
+        for n in names:
+            _write_avi(ucf / n, rs.randint(0, 256, (3, 48, 64),
+                                           dtype=np.uint8))
+        (splits / "trainlist01.txt").write_text(
+            f"{names[0]} 1\n{names[1]} 1\n")
+        (splits / "testlist01.txt").write_text(f"{names[2]}\n")
+
+        assert read_ucf_split_list(str(splits), "train") == names[:2]
+        assert read_ucf_split_list(str(splits), "test") == names[2:]
+
+        out = tmp_path / "UCF101_h5"
+        writer = HDF5VideoWriter(str(out), force=True)
+        counts = {"train": 0, "test": 0}
+        for split, video in iter_ucf101_videos(str(ucf), str(splits),
+                                               image_size=48):
+            # 240:320 aspect preserved -> width 64 at height 48
+            assert video.shape == (3, 48, 64, 3)
+            writer.add_video(list(video))
+            counts[split] += 1
+        writer.set_scalar("num_train", counts["train"])
+        writer.set_scalar("num_test", counts["test"])
+        writer.close()
+        assert counts == {"train": 2, "test": 1}
+
+        store = HDF5VideoStore(str(out))
+        assert int(store.attr("num_train")) == 2
+        assert int(store.attr("num_test")) == 1
+        assert len(store) == 3
+        store.close()
