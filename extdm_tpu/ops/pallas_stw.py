@@ -884,11 +884,13 @@ def _pick_seq_pack(P: int, T: int):
 
 
 def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
-                          dim_head: int, rot: int, eps: float, G: int,
-                          Tp: int):
+                          dim_head: int, rot: int, eps: float, G: int):
+    """T here is the IN-KERNEL sequence length: when G-packing needs padding
+    to a multiple of 8, the caller pads the slab in XLA (in-kernel jnp.pad
+    hits a Mosaic concat-layout bug at small T/hidden) and crops after."""
     P = HR * Wd
     hidden = heads * dim_head
-    R = G * Tp
+    R = G * T
     f32 = jnp.float32
 
     def kernel(x_ref, gcln_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -926,11 +928,11 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         if G > 1:
             # block-diagonal sequence packing: G sequences share one
             # (R, R) score matrix; bias_ref is pre-tiled with -1e9 on
-            # the off-diagonal / pad-key entries.
-            pad = Tp - T
-            q = jnp.pad(q, ((0, 0), (0, pad), (0, 0))).reshape(P // G, R, hidden)
-            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0))).reshape(P // G, R, hidden)
-            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0))).reshape(P // G, R, hidden)
+            # the off-diagonal / pad-key entries. T is already padded
+            # to a multiple of 8 by the caller, so this is a pure view.
+            q = q.reshape(P // G, R, hidden)
+            k = k.reshape(P // G, R, hidden)
+            v = v.reshape(P // G, R, hidden)
         outs = []
         for hd in range(heads):
             sl = slice(hd * dim_head, (hd + 1) * dim_head)
@@ -949,8 +951,6 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 preferred_element_type=f32,
             ))
         o = jnp.concatenate(outs, axis=-1)
-        if G > 1:
-            o = o.reshape(P, Tp, hidden)[:, :T]
         o = o.reshape(P * T, hidden)
         o = jax.lax.dot_general(
             o.astype(x_ref.dtype), wproj_ref[:],
@@ -995,19 +995,40 @@ def _pair_swap_neg(w):
     return jnp.stack([-w2[..., 1], w2[..., 0]], axis=-1).reshape(w.shape)
 
 
+def _build_packed_bias(bias_hnn, heads, T, Tp, G):
+    """Block-diagonal bias for G packed sequences: -1e9 on off-diagonal
+    blocks and pad-key columns (pad-query rows yield garbage that the
+    caller crops)."""
+    R = G * Tp
+    bias_pad = jnp.pad(bias_hnn.astype(jnp.float32),
+                       ((0, 0), (0, Tp - T), (0, Tp - T)))
+    tiled = jnp.einsum("ab,hij->haibj", jnp.eye(G, dtype=jnp.float32),
+                       bias_pad).reshape(heads, R, R)
+    rb = np.arange(R)[:, None] // Tp
+    cb = np.arange(R)[None, :] // Tp
+    cpos = np.arange(R)[None, :] % Tp
+    neg = np.where((rb != cb) | (cpos >= T), -1e9, 0.0).astype(np.float32)
+    return tiled + jnp.asarray(neg)[None]
+
+
+def _rope_tables_tiled(Tk, heads, dim_head, rot):
+    hidden = heads * dim_head
+    cos_np = np.ones((Tk, hidden), np.float32)
+    sin_np = np.zeros((Tk, hidden), np.float32)
+    if rot:
+        c, s = rotary_tables(Tk, rot)
+        for hd in range(heads):
+            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
+            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
+    return cos_np, sin_np
+
+
 def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
                    heads, dim_head, rotary, eps, interpret):
     _ensure_pallas()
     B, T, H, W, C = x.shape
     hidden = heads * dim_head
     rot = min(32, dim_head) if rotary else 0
-    cos_np = np.ones((T, hidden), np.float32)
-    sin_np = np.zeros((T, hidden), np.float32)
-    if rot:
-        c, s = rotary_tables(T, rot)
-        for hd in range(heads):
-            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
-            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
 
     # Fold the inner LayerNorm's scale/bias and the q 1/sqrt(d) scale into
     # the qkv projection, and append signed pair-swapped q/k column blocks
@@ -1033,24 +1054,17 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
     HR = _pick_hr(H, W, T, C, hidden=hidden)
     G, Tp = _pick_seq_pack(HR * W, T)
     if G > 1:
-        # pre-tile the bias block-diagonally with -1e9 off-diagonal and on
-        # pad-key columns; pad-query rows are sliced away in the kernel.
-        R = G * Tp
-        bias_pad = jnp.pad(bias_hnn.astype(jnp.float32),
-                           ((0, 0), (0, Tp - T), (0, Tp - T)))
-        tiled = jnp.einsum("ab,hij->haibj", jnp.eye(G, dtype=jnp.float32),
-                           bias_pad).reshape(heads, R, R)
-        rb = np.arange(R)[:, None] // Tp
-        cb = np.arange(R)[None, :] // Tp
-        cpos = np.arange(R)[None, :] % Tp
-        neg = np.where((rb != cb) | (cpos >= T), -1e9, 0.0).astype(np.float32)
-        bias_in = tiled + jnp.asarray(neg)[None]
-        NB = R
+        bias_in = _build_packed_bias(bias_hnn, heads, T, Tp, G)
+        NB = G * Tp
     else:
+        Tp = T
         bias_in = bias_hnn.astype(jnp.float32)
         NB = T
+    xp = x if Tp == T else jnp.pad(
+        x, ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0)))
+    cos_np, sin_np = _rope_tables_tiled(Tp, heads, dim_head, rot)
 
-    x_spec = pl.BlockSpec((1, T, HR, W, C), lambda b, ih: (b, 0, ih, 0, 0))
+    x_spec = pl.BlockSpec((1, Tp, HR, W, C), lambda b, ih: (b, 0, ih, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda b, ih: tuple(0 for _ in shape))
     grid_spec = pl.GridSpec(
         grid=(B, H // HR),
@@ -1061,27 +1075,27 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
             const((1, n_aug)),        # augmented qkv bias (f32)
             const((hidden, C)),       # w_proj
             const((heads, NB, NB)),   # bias (pre-tiled when packed)
-            const((T, hidden)),       # cos
-            const((T, hidden)),       # sin
+            const((Tp, hidden)),      # cos
+            const((Tp, hidden)),      # sin
         ],
         out_specs=x_spec,
     )
-    kernel = _make_temporal_kernel(T, HR, W, C, heads, dim_head, rot, eps,
-                                   G, Tp)
-    return pl.pallas_call(
+    kernel = _make_temporal_kernel(Tp, HR, W, C, heads, dim_head, rot, eps, G)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
             # no cross-program accumulation in the forward (see STW note)
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
-    )(x, gamma_cln.reshape(1, C).astype(x.dtype),
+    )(xp, gamma_cln.reshape(1, C).astype(x.dtype),
       w_aug.astype(x.dtype), b_aug.reshape(1, n_aug),
       w_proj.astype(x.dtype),
       bias_in,
       jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype))
+    return out if Tp == T else out[:, :T]
 
 
 # -------------------------------------------------------- temporal backward
@@ -1101,11 +1115,13 @@ def _pick_hw(H: int, W: int, T: int, c: int, max_tokens: int,
 
 
 def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
-                              dim_head: int, rot: int, eps: float, G: int,
-                              Tp: int):
+                              dim_head: int, rot: int, eps: float, G: int):
+    """T is the IN-KERNEL (caller-padded) length — see _make_temporal_kernel.
+    Pad rows of g are zero, so every weight-grad accumulation over pad
+    tokens vanishes; dx pad rows are cropped by the caller."""
     P = HR * Wd
     hidden = heads * dim_head
-    R = G * Tp
+    R = G * T
     f32 = jnp.float32
 
     def kernel(x_ref, g_ref, gcln_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
@@ -1169,15 +1185,14 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         else:
             q, k = q0, k0
 
-        def pack(z):
+        def pack(z):  # T is pre-padded by the caller -> pure views
             if G > 1:
-                z = jnp.pad(z, ((0, 0), (0, Tp - T), (0, 0)))
                 return z.reshape(P // G, R, hidden)
             return z
 
         def unpack(z):
             if G > 1:
-                return z.reshape(P, Tp, hidden)[:, :T]
+                return z.reshape(P, T, hidden)
             return z
 
         qp, kp, vp = pack(q), pack(k), pack(v)
@@ -1302,35 +1317,25 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
     B, T, H, W, C = x.shape
     hidden = heads * dim_head
     rot = min(32, dim_head) if rotary else 0
-    cos_np = np.ones((T, hidden), np.float32)
-    sin_np = np.zeros((T, hidden), np.float32)
-    if rot:
-        c, s = rotary_tables(T, rot)
-        for hd in range(heads):
-            cos_np[:, hd * dim_head : hd * dim_head + rot] = c
-            sin_np[:, hd * dim_head : hd * dim_head + rot] = s
     HR, WR = _pick_hw(H, W, T, C,
                       max_tokens=int(os.environ.get(
                           "EXTDM_TEMPORAL_BWD_TOKENS", "1024")),
                       hidden=hidden)
     G, Tp = _pick_seq_pack(HR * WR, T)
     if G > 1:
-        R = G * Tp
-        bias_pad = jnp.pad(bias_hnn.astype(jnp.float32),
-                           ((0, 0), (0, Tp - T), (0, Tp - T)))
-        tiled = jnp.einsum("ab,hij->haibj", jnp.eye(G, dtype=jnp.float32),
-                           bias_pad).reshape(heads, R, R)
-        rb = np.arange(R)[:, None] // Tp
-        cb = np.arange(R)[None, :] // Tp
-        cpos = np.arange(R)[None, :] % Tp
-        neg = np.where((rb != cb) | (cpos >= T), -1e9, 0.0).astype(np.float32)
-        bias_in = tiled + jnp.asarray(neg)[None]
-        NB = R
+        bias_in = _build_packed_bias(bias_hnn, heads, T, Tp, G)
+        NB = G * Tp
     else:
+        Tp = T
         bias_in = bias_hnn.astype(jnp.float32)
         NB = T
+    if Tp != T:
+        pads = ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0))
+        x = jnp.pad(x, pads)
+        g = jnp.pad(g, pads)
+    cos_np, sin_np = _rope_tables_tiled(Tp, heads, dim_head, rot)
 
-    x_spec = pl.BlockSpec((1, T, HR, WR, C),
+    x_spec = pl.BlockSpec((1, Tp, HR, WR, C),
                           lambda b, ih, iw: (b, 0, ih, iw, 0))
     const = lambda shape: pl.BlockSpec(
         shape, lambda b, ih, iw: tuple(0 for _ in shape))
@@ -1345,8 +1350,8 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
             const((C, 3 * hidden)),   # w_qkv
             const((hidden, C)),       # w_proj
             const((heads, NB, NB)),   # bias (packed form)
-            const((T, hidden)),       # cos
-            const((T, hidden)),       # sin
+            const((Tp, hidden)),      # cos
+            const((Tp, hidden)),      # sin
         ],
         out_specs=[
             x_spec,                   # dx
@@ -1358,8 +1363,8 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
             const((heads, NB, NB)),   # dbias (packed form)
         ],
     )
-    kernel = _make_temporal_bwd_kernel(T, HR, WR, C, heads, dim_head, rot,
-                                       eps, G, Tp)
+    kernel = _make_temporal_bwd_kernel(Tp, HR, WR, C, heads, dim_head, rot,
+                                       eps, G)
     f32 = jnp.float32
     out_shapes = [
         jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -1370,7 +1375,7 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
         jax.ShapeDtypeStruct((hidden, C), f32),
         jax.ShapeDtypeStruct((heads, NB, NB), f32),
     ]
-    dx, dgcln, dlns, dlnb, dwqkv, dwproj, dbias_p = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -1382,6 +1387,9 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
       ln_bias.reshape(1, C).astype(jnp.float32),
       w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
       bias_in, jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype))
+    dx, dgcln, dlns, dlnb, dwqkv, dwproj, dbias_p = outs
+    if Tp != T:
+        dx = dx[:, :T]
 
     if G > 1:
         db = dbias_p.reshape(heads, G, Tp, G, Tp)
