@@ -243,3 +243,151 @@ def convert_i3d(sd: StateDict) -> Dict[str, Any]:
             unit(f"{name}/{branch}", f"{name}.{branch}")
     unit("logits", "logits", bn=False, bias=True)
     return b.variables()
+
+
+# --- diffusion UNet (DenoiseNet_..._ada_u22) ----------------------------------------
+def _convert_resnet_block(b: VariablesBuilder, path: str, sd: StateDict,
+                          prefix: str):
+    """ResnetBlock (ref ..._ada_u22.py:257-279): optional FiLM mlp, two
+    conv+GN blocks, optional 1x1x1 res_conv."""
+    if f"{prefix}.mlp.1.weight" in sd:
+        b.linear(f"{path}/mlp", sd, f"{prefix}.mlp.1")
+    for blk in ("block1", "block2"):
+        b.conv3d(f"{path}/{blk}/proj/Conv_0", sd, f"{prefix}.{blk}.proj")
+        b.raw(f"{path}/{blk}/norm", "scale", sd[f"{prefix}.{blk}.norm.weight"])
+        b.raw(f"{path}/{blk}/norm", "bias", sd[f"{prefix}.{blk}.norm.bias"])
+    if f"{prefix}.res_conv.weight" in sd:
+        b.conv3d(f"{path}/res_conv", sd, f"{prefix}.res_conv")
+
+
+def _convert_stw_layer(b: VariablesBuilder, path: str, sd: StateDict,
+                       prefix: str):
+    """Residual(PreNorm(STWAttentionLayer)) (ref :621-682). The
+    relative_position_index buffer is recomputed trace-time here."""
+    b.raw(f"{path}/norm", "gamma", sd[f"{prefix}.fn.norm.gamma"].reshape(-1))
+    a = f"{prefix}.fn.fn.attn"
+    b.raw(f"{path}/fn/attn", "relative_position_bias_table",
+          sd[f"{a}.relative_position_bias_table"])
+    b.linear(f"{path}/fn/attn/qkv", sd, f"{a}.qkv")
+    b.linear(f"{path}/fn/attn/proj/Dense_0", sd, f"{a}.proj")
+
+
+def _convert_temporal_layer(b: VariablesBuilder, path: str, sd: StateDict,
+                            prefix: str):
+    """Residual(PreNorm(EinopsToAndFrom(AttentionLayer))) (ref :426-450)."""
+    b.raw(f"{path}/norm", "gamma", sd[f"{prefix}.fn.norm.gamma"].reshape(-1))
+    inner = f"{prefix}.fn.fn.fn"
+    b.raw(f"{path}/fn/norm", "scale", sd[f"{inner}.norm.weight"])
+    b.raw(f"{path}/fn/norm", "bias", sd[f"{inner}.norm.bias"])
+    b.linear(f"{path}/fn/attn/to_qkv", sd, f"{inner}.attn.to_qkv")
+    b.linear(f"{path}/fn/attn/to_out", sd, f"{inner}.attn.to_out")
+
+
+def _convert_adaptor(b: VariablesBuilder, path: str, sd: StateDict,
+                     prefix: str):
+    """MotionAdaptor (ref :829-860): predictor + extrapolators + T-major
+    Tmodulator + fuser."""
+    b.raw(f"{path}/adaptors/predictor_norm", "gamma",
+          sd[f"{prefix}.adaptors.predictor.fn.norm.gamma"].reshape(-1))
+    b.conv3d(f"{path}/adaptors/predictor/Conv_0", sd,
+             f"{prefix}.adaptors.predictor.fn.fn")
+    i = 0
+    while f"{prefix}.adaptors.extrapolators.{i}.fn.weight" in sd:
+        b.conv3d(f"{path}/adaptors/extrapolator{i}", sd,
+                 f"{prefix}.adaptors.extrapolators.{i}.fn", bias=False)
+        i += 1
+    b.conv2d(f"{path}/Tmodulator", sd, f"{prefix}.Tmodulator")
+    b.raw(f"{path}/fuser_norm", "gamma",
+          sd[f"{prefix}.fuser.norm.gamma"].reshape(-1))
+    b.conv3d(f"{path}/fuser/Conv_0", sd, f"{prefix}.fuser.fn")
+
+
+def convert_unet3d(sd: StateDict, latent_channels: int = 3,
+                   path1: bool = False) -> Dict[str, Any]:
+    """Reference Unet3D (DenoiseNet_..._ada_u22.py:1009-1158) state dict ->
+    extdm_tpu.models.dm.unet3d.Unet3D params.
+
+    The reference concatenates cond features onto the latent channels and
+    runs one 259-ch init conv (:1060, wrapper passes channels=3+256); our
+    UNet splits it into init_conv (latent, with bias) + init_conv_cond
+    (features, no bias) so the cond half hoists out of the DDIM scan —
+    the split weights sum to the identical convolution.
+    """
+    b = VariablesBuilder()
+    lc = latent_channels
+
+    w = sd["init_conv.weight"]  # (init_dim, lc+cond_dim, 1, k, k)
+    b.raw("init_conv/Conv_0", "kernel", conv3d_kernel(w[:, :lc]))
+    b.raw("init_conv/Conv_0", "bias", sd["init_conv.bias"])
+    if w.shape[1] > lc:
+        b.raw("init_conv_cond", "kernel", conv3d_kernel(w[:, lc:]))
+
+    b.raw("time_rel_pos_bias", "relative_attention_bias",
+          sd["time_rel_pos_bias.relative_attention_bias.weight"])
+    if path1:
+        # THW bias table + alpha/beta head mix exist in every reference
+        # checkpoint but are only USED (and only exist in our param tree)
+        # on the path=1 trace (ref :1192-1221)
+        b.raw("rel_pos_bias_thw", "relative_attention_bias",
+              sd["rel_pos_bias_thw.relative_attention_bias.weight"])
+        for extra in ("alpha", "beta"):
+            b.params[extra] = np.asarray(sd[extra])
+
+    _convert_temporal_layer(b, "init_temporal_attn", sd, "init_temporal_attn")
+    if "cond_temporal_attn.fn.norm.gamma" in sd:
+        _convert_temporal_layer(b, "cond_temporal_attn", sd, "cond_temporal_attn")
+        _convert_adaptor(b, "cond_adaptor", sd, "cond_adaptor")
+
+    b.linear("time_mlp_0", sd, "time_mlp.1")
+    b.linear("time_mlp_1", sd, "time_mlp.3")
+
+    n_levels = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("downs."))
+    for i in range(n_levels):
+        _convert_resnet_block(b, f"down{i}_block1", sd, f"downs.{i}.0")
+        _convert_stw_layer(b, f"down{i}_stw1", sd, f"downs.{i}.1")
+        _convert_resnet_block(b, f"down{i}_block2", sd, f"downs.{i}.2")
+        _convert_stw_layer(b, f"down{i}_stw2", sd, f"downs.{i}.3")
+        if f"downs.{i}.4.Tmodulator.weight" in sd:
+            _convert_adaptor(b, f"down{i}_adaptor", sd, f"downs.{i}.4")
+        _convert_temporal_layer(b, f"down{i}_tattn", sd, f"downs.{i}.5")
+        if f"downs.{i}.6.weight" in sd:
+            b.conv3d(f"down{i}_downsample/Conv_0", sd, f"downs.{i}.6")
+
+    _convert_resnet_block(b, "mid_block1", sd, "mid_block1")
+    _convert_stw_layer(b, "mid_attn1", sd, "mid_attn1")
+    _convert_resnet_block(b, "mid_block2", sd, "mid_block2")
+    _convert_stw_layer(b, "mid_attn2", sd, "mid_attn2")
+    if "mid_adaptor.Tmodulator.weight" in sd:
+        _convert_adaptor(b, "mid_adaptor", sd, "mid_adaptor")
+
+    for i in range(n_levels):
+        _convert_resnet_block(b, f"up{i}_block1", sd, f"ups.{i}.0")
+        _convert_stw_layer(b, f"up{i}_stw1", sd, f"ups.{i}.1")
+        _convert_resnet_block(b, f"up{i}_block2", sd, f"ups.{i}.2")
+        _convert_stw_layer(b, f"up{i}_stw2", sd, f"ups.{i}.3")
+        if f"ups.{i}.4.Tmodulator.weight" in sd:
+            _convert_adaptor(b, f"up{i}_adaptor", sd, f"ups.{i}.4")
+        _convert_temporal_layer(b, f"up{i}_tattn", sd, f"ups.{i}.5")
+        if f"ups.{i}.6.weight" in sd:
+            w = sd[f"ups.{i}.6.weight"]
+            b.raw(f"up{i}_upsample/conv", "kernel", conv_transpose3d_kernel(w))
+            b.raw(f"up{i}_upsample/conv", "bias", sd[f"ups.{i}.6.bias"])
+
+    _convert_resnet_block(b, "final_block", sd, "final_conv.0")
+    b.conv3d("final_conv", sd, "final_conv.1")
+    _convert_resnet_block(b, "occlusion_block", sd, "occlusion_map.0")
+    b.conv3d("occlusion_conv", sd, "occlusion_map.1")
+    return b.variables()["params"]
+
+
+def convert_dm_checkpoint(diffusion_sd: StateDict,
+                          latent_channels: int = 3,
+                          path1: bool = False) -> Dict[str, Any]:
+    """Reference DM checkpoint ('diffusion' entry: GaussianDiffusion.state_dict(),
+    scripts/DM/train.py:404-412) -> our Unet3D params. Diffusion schedule
+    buffers (betas, alphas_cumprod, ...) are recomputed from config at
+    trace time, so only `denoise_fn.*` keys are consumed."""
+    unet_sd = {k[len("denoise_fn."):]: v for k, v in diffusion_sd.items()
+               if k.startswith("denoise_fn.")}
+    assert unet_sd, "no denoise_fn.* keys — not a GaussianDiffusion state dict?"
+    return convert_unet3d(unet_sd, latent_channels, path1=path1)

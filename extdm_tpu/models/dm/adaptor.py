@@ -79,7 +79,9 @@ class Extrapolator(nn.Module):
             # stats in f32; the normalized stream stays in the compute dtype
             x32 = x.astype(jnp.float32)
             mean = x32.mean(axis=(1, 2, 3), keepdims=True)
-            var = x32.reshape(x.shape[0], -1, x.shape[-1]).var(axis=1)
+            # unbiased (ddof=1) variance: ref calc_mean_std uses torch
+            # Tensor.var's default (:797-806)
+            var = x32.reshape(x.shape[0], -1, x.shape[-1]).var(axis=1, ddof=1)
             std = jnp.sqrt(var + 1e-5)[:, None, None, None, :]
             xh = ((x32 - mean) / std).astype(x.dtype)
             xh = xh + nn.Conv(

@@ -3,6 +3,8 @@ checkpoints (msgpack).
 
 Supported inputs:
 - AE checkpoint (.pth with generator/region_predictor/bg_predictor)
+- DM checkpoint (.pth with 'diffusion' = GaussianDiffusion state dict;
+  converts the denoise_fn UNet — schedule buffers are recomputed) (--kind dm)
 - torchvision VGG19 state dict            (--kind vgg19)
 - lpips AlexNet LPIPS state dict          (--kind lpips)
 - pytorch_i3d InceptionI3d state dict     (--kind i3d)
@@ -23,13 +25,17 @@ def main():
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--kind", required=True,
-                   choices=["ae", "vgg19", "lpips", "i3d"])
+                   choices=["ae", "dm", "vgg19", "lpips", "i3d"])
     p.add_argument("--config", default=None, help="AE yaml (for --kind ae)")
+    p.add_argument("--path1", action="store_true",
+                   help="include the THW-bias/alpha/beta params (path=1 "
+                        "denoiser variant) in DM conversion")
     args = p.parse_args()
 
     import torch
 
     from extdm_tpu.convert.torch2jax import (
+        convert_dm_checkpoint,
         convert_i3d,
         convert_lfae_checkpoint,
         convert_lpips,
@@ -50,6 +56,14 @@ def main():
         ckpt = {k: as_numpy_sd(v) for k, v in obj.items()
                 if k in ("generator", "region_predictor", "bg_predictor")}
         variables = convert_lfae_checkpoint(ckpt, cfg["flow_params"]["model_params"])
+    elif args.kind == "dm":
+        sd = obj["diffusion"] if isinstance(obj, dict) and "diffusion" in obj else obj
+        params = convert_dm_checkpoint(as_numpy_sd(sd) if hasattr(
+            next(iter(sd.values())), "detach") else sd, path1=args.path1)
+        # match scripts/train_dm.py's checkpoint layout so valid_dm
+        # --checkpoint loads it directly
+        variables = {"state": {"unet_params": params},
+                     "example": int(obj.get("example", 0)) if isinstance(obj, dict) else 0}
     else:
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
         sd = as_numpy_sd(sd)
