@@ -176,8 +176,12 @@ class GaussianDiffusion:
         x_cond: jnp.ndarray,
         pred_frames: int,
         cond_fea: Optional[jnp.ndarray],
+        init_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """x_cond: (B, tc, h, w, C). Returns (B, pred_frames, h, w, C)."""
+        """x_cond: (B, tc, h, w, C). Returns (B, pred_frames, h, w, C).
+
+        `init_noise` overrides the drawn x_T (reproducible trajectories /
+        parity tests against the reference sampler)."""
         s = self.schedule
         B, _, h, w, C = x_cond.shape
         shape = (B, pred_frames, h, w, C)
@@ -185,7 +189,8 @@ class GaussianDiffusion:
         eta = self.ddim_eta
 
         key, init_key = jax.random.split(key)
-        img = jax.random.normal(init_key, shape, jnp.float32)
+        img = (jax.random.normal(init_key, shape, jnp.float32)
+               if init_noise is None else init_noise.astype(jnp.float32))
 
         alphas_prev = jnp.asarray(s.alphas_cumprod_prev)
 

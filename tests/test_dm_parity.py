@@ -204,3 +204,49 @@ class TestCheckpointEntry:
         assert len(flat_a) == len(flat_b)
         for a, b in zip(flat_a, flat_b):
             np.testing.assert_array_equal(a, b)
+
+
+class TestDDIMSamplingParity:
+    def test_ddim_trajectory_matches_reference(self, nets, monkeypatch):
+        """Full DDIM rollout (2 steps, eta=0) with identical x_T: the
+        reference ddim_sample (Diffusion.py:208-258) vs our lax.scan
+        sampler. eta=0 makes the trajectory deterministic given x_T; the
+        in-loop randn_like is multiplied by sigma=0."""
+        ref, ours, params = nets
+        from model.BaseDM_adaptor.Diffusion import GaussianDiffusion as RefGD
+
+        gd_ref = RefGD(ref, image_size=S, num_frames=TC + TP, channels=3,
+                       timesteps=20, sampling_timesteps=2, loss_type="l2",
+                       use_dynamic_thres=True, ddim_sampling_eta=0.0)
+        gd_ref.eval()
+
+        x, cond, fea, _ = _inputs(seed=4)
+        rs = np.random.RandomState(5)
+        x_T = rs.randn(*x.shape).astype(np.float32)
+
+        real_randn = torch.randn
+        monkeypatch.setattr(
+            torch, "randn",
+            lambda *s, **k: torch.from_numpy(x_T)
+            if tuple(s[0] if isinstance(s[0], (tuple, list)) else s) == x_T.shape
+            else real_randn(*s, **k))
+        with torch.no_grad():
+            out_ref = gd_ref.ddim_sample(
+                torch.from_numpy(cond), x_T.shape, torch.from_numpy(fea))
+        out_ref = out_ref.numpy().transpose(0, 2, 3, 4, 1)
+
+        def to_last(a):
+            return jnp.asarray(a.transpose(0, 2, 3, 4, 1))
+
+        gd = GaussianDiffusion(schedule=DiffusionSchedule.create(timesteps=20),
+                               sampling_timesteps=2, loss_type="l2",
+                               use_dynamic_thres=True, ddim_eta=0.0)
+
+        def denoise(img, t, x_cond, cond_fea):
+            return ours.apply({"params": params}, img,
+                              t.astype(jnp.float32), x_cond, cond_fea)
+
+        out = gd.ddim_sample(denoise, jax.random.PRNGKey(0), to_last(cond),
+                             TP, to_last(fea), init_noise=to_last(x_T))
+        np.testing.assert_allclose(np.asarray(out), out_ref,
+                                   rtol=2e-3, atol=2e-3)
