@@ -222,12 +222,14 @@ class GaussianDiffusion:
         x_cond: jnp.ndarray,
         pred_frames: int,
         cond_fea: Optional[jnp.ndarray],
+        init_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         s = self.schedule
         B, _, h, w, C = x_cond.shape
         shape = (B, pred_frames, h, w, C)
         key, init_key = jax.random.split(key)
-        img = jax.random.normal(init_key, shape, jnp.float32)
+        img = (jax.random.normal(init_key, shape, jnp.float32)
+               if init_noise is None else init_noise.astype(jnp.float32))
 
         def step(carry, t):
             img, key = carry
@@ -283,10 +285,13 @@ class GaussianDiffusion:
         (img, _), _ = jax.lax.scan(step, (img, key), jnp.arange(t - 1, -1, -1))
         return img
 
-    def sample(self, denoise_fn, key, x_cond, pred_frames, cond_fea=None):
+    def sample(self, denoise_fn, key, x_cond, pred_frames, cond_fea=None,
+               init_noise=None):
         if self.sampling_timesteps < self.schedule.num_timesteps:
-            return self.ddim_sample(denoise_fn, key, x_cond, pred_frames, cond_fea)
-        return self.p_sample_loop(denoise_fn, key, x_cond, pred_frames, cond_fea)
+            return self.ddim_sample(denoise_fn, key, x_cond, pred_frames,
+                                    cond_fea, init_noise=init_noise)
+        return self.p_sample_loop(denoise_fn, key, x_cond, pred_frames,
+                                  cond_fea, init_noise=init_noise)
 
 
 def guided_denoise_fn(denoise_fn: DenoiseFn, cond_scale: float = 1.0) -> DenoiseFn:

@@ -386,10 +386,11 @@ class FlowDiffusion:
             return enc, fea, self.latents_from_encode(enc)
 
         @jax.jit
-        def ddim(uv, key, x_cond, fea):
+        def ddim(uv, key, x_cond, fea, init_noise=None):
             cache = self.cond_cache(uv, x_cond, fea)
             return self.diffusion.sample(self.denoise_fn(uv, cache), key,
-                                         x_cond, tp, fea)
+                                         x_cond, tp, fea,
+                                         init_noise=init_noise)
 
         @jax.jit
         def finalize(lv, cond_video, enc_flow, enc_conf, pred):
@@ -420,9 +421,9 @@ class FlowDiffusion:
                     axis=1)
             return out
 
-        def sampler(key, cond_video):
+        def sampler(key, cond_video, init_noise=None):
             enc, fea, x_cond = encode(lfae_variables, cond_video)
-            pred = ddim(unet_variables, key, x_cond, fea)
+            pred = ddim(unet_variables, key, x_cond, fea, init_noise)
             return finalize(lfae_variables, cond_video, enc["flow"], enc["conf"], pred)
 
         return sampler

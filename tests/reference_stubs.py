@@ -22,6 +22,32 @@ from einops import rearrange, repeat
 
 def install() -> None:
     """Register the stub modules in sys.modules (idempotent)."""
+    import numpy as np
+
+    if "skimage" not in sys.modules:
+        # model/LFAE/util.py imports skimage.draw.disk for the Visualizer
+        # (never touched by the parity tests)
+        skimage = types.ModuleType("skimage")
+        draw = types.ModuleType("skimage.draw")
+        draw.disk = lambda *a, **k: (np.zeros(0, int), np.zeros(0, int))
+        skimage.draw = draw
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.draw"] = draw
+
+    if "torchvision" not in sys.modules:
+        # the DM wrapper imports torchvision.models only for its DEAD Vgg19
+        # copy (VideoFlowDiffusion_multi_w_ref_u22.py:18-141, never
+        # instantiated) — raise if actually used
+        def _unavailable(*a, **k):
+            raise ModuleNotFoundError("torchvision stub: not available")
+
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_models.vgg19 = _unavailable
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+
     if "rotary_embedding_torch" in sys.modules:
         return
 
