@@ -160,3 +160,44 @@ class TestEndToEndSamplingParity:
         np.testing.assert_allclose(
             np.asarray(out["sample_warped_vid"][:, TC:]),
             ref_np("sample_warped_vid")[:, TC:], rtol=5e-3, atol=5e-3)
+
+
+class TestTPSTransformParity:
+    def test_warp_jacobian_and_frame_match(self):
+        """Golden TPS equivariance transform vs reference model/LFAE/
+        model.py:82-134 (sampled params injected from the ref object;
+        jacobian via jvp vs torch double-backward)."""
+        from model.LFAE.model import Transform as RefTransform
+
+        from extdm_tpu.models.lfae import transform as tps
+
+        torch.manual_seed(1)
+        B = 2
+        ref_t = RefTransform(B, sigma_affine=0.05, sigma_tps=0.005,
+                             points_tps=5)
+        ours_t = tps.TPSTransform(
+            theta=jnp.asarray(ref_t.theta.numpy()),
+            control_points=jnp.asarray(
+                ref_t.control_points.numpy().reshape(-1, 2)),
+            control_params=jnp.asarray(ref_t.control_params.numpy()),
+        )
+
+        rs = np.random.RandomState(0)
+        coords = rs.uniform(-1, 1, (B, 7, 2)).astype(np.float32)
+        tc = torch.from_numpy(coords).requires_grad_(True)
+        warped_ref = ref_t.warp_coordinates(tc)
+        jac_ref = ref_t.jacobian(tc).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(tps.warp_coordinates(ours_t, jnp.asarray(coords))),
+            warped_ref.detach().numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tps.jacobian(ours_t, jnp.asarray(coords))),
+            jac_ref, rtol=1e-4, atol=1e-5)
+
+        frame = rs.rand(B, 3, 8, 8).astype(np.float32)
+        out_ref = ref_t.transform_frame(torch.from_numpy(frame))
+        out = tps.transform_frame(ours_t,
+                                  jnp.asarray(frame.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out), out_ref.detach().numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-5)
