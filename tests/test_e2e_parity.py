@@ -201,3 +201,97 @@ class TestTPSTransformParity:
         np.testing.assert_allclose(
             np.asarray(out), out_ref.detach().numpy().transpose(0, 2, 3, 1),
             rtol=1e-4, atol=1e-5)
+
+
+class TestGradientParity:
+    def test_unet_train_grads_match_reference(self, stacks):
+        """One-step GRADIENT parity: d(eps-loss)/d(params) through the whole
+        UNet — torch autograd on the reference p_losses vs jax.grad on our
+        composed loss (fixed t/noise, converted weights). Validates every
+        backward semantic end to end (XLA autodiff path; the pallas
+        backward kernels have their own on-chip parity tests)."""
+        from extdm_tpu.models.dm.diffusion import (DiffusionSchedule,
+                                                   GaussianDiffusion)
+
+        ref, fd, lfae_vars, unet_vars = stacks
+        rs = np.random.RandomState(7)
+        x = rs.randn(2, 3, TP, FRAME // 2, FRAME // 2).astype(np.float32)
+        cond = rs.randn(2, 3, TC, FRAME // 2, FRAME // 2).astype(np.float32)
+        fea = rs.randn(2, 256, TC + TP, FRAME // 2,
+                       FRAME // 2).astype(np.float32)
+        noise = rs.randn(*x.shape).astype(np.float32)
+        t_np = np.array([4, 17])
+
+        # --- reference: autograd through p_losses --------------------------
+        ref.diffusion.train()
+        for p in ref.diffusion.parameters():
+            p.grad = None
+        loss_ref, _ = ref.diffusion.p_losses(
+            torch.from_numpy(cond), torch.from_numpy(x),
+            torch.from_numpy(fea), torch.from_numpy(t_np).long(),
+            noise=torch.from_numpy(noise))
+        loss_ref.backward()
+        ref_sd = dict(ref.diffusion.named_parameters())
+
+        # --- ours: jax.grad of the same composed loss ----------------------
+        def to_last(a):
+            return jnp.asarray(a.transpose(0, 2, 3, 4, 1))
+
+        gd = GaussianDiffusion(schedule=DiffusionSchedule.create(timesteps=20),
+                               loss_type="l2", use_dynamic_thres=True)
+        t_j = jnp.asarray(t_np)
+
+        def loss_fn(params):
+            x_noisy = gd.q_sample(to_last(x), t_j, to_last(noise))
+            pred = fd.unet.apply({"params": params}, x_noisy,
+                                 t_j.astype(jnp.float32), to_last(cond),
+                                 to_last(fea))
+            return jnp.mean((to_last(noise) * 10.0 - pred * 10.0) ** 2)
+
+        grads = jax.grad(loss_fn)(unet_vars["params"])
+
+        from extdm_tpu.convert.torch2jax import conv3d_kernel, linear_kernel
+
+        checks = [
+            # (ref param name, ours grad path, torch->flax transform)
+            ("denoise_fn.init_conv.bias",
+             grads["init_conv"]["Conv_0"]["bias"], None),
+            ("denoise_fn.final_conv.1.weight",
+             grads["final_conv"]["kernel"], conv3d_kernel),
+            ("denoise_fn.occlusion_map.1.weight",
+             grads["occlusion_conv"]["kernel"], conv3d_kernel),
+            ("denoise_fn.mid_attn1.fn.fn.attn.qkv.weight",
+             grads["mid_attn1"]["fn"]["attn"]["qkv"]["kernel"],
+             linear_kernel),
+            ("denoise_fn.downs.0.5.fn.fn.fn.attn.to_qkv.weight",
+             grads["down0_tattn"]["fn"]["attn"]["to_qkv"]["kernel"],
+             linear_kernel),
+            ("denoise_fn.downs.0.4.Tmodulator.bias",
+             grads["down0_adaptor"]["Tmodulator"]["bias"], None),
+            ("denoise_fn.time_mlp.1.weight",
+             grads["time_mlp_0"]["kernel"], linear_kernel),
+            ("denoise_fn.ups.1.0.block1.norm.weight",
+             grads["up1_block1"]["block1"]["norm"]["scale"], None),
+            ("denoise_fn.time_rel_pos_bias.relative_attention_bias.weight",
+             grads["time_rel_pos_bias"]["relative_attention_bias"], None),
+        ]
+        for name, ours_g, tf in checks:
+            ref_g = ref_sd[name].grad
+            assert ref_g is not None, name
+            ref_g = ref_g.numpy()
+            if tf is not None:
+                ref_g = tf(ref_g)
+            scale = max(1e-3, float(np.abs(ref_g).max()))
+            np.testing.assert_allclose(
+                np.asarray(ours_g) / scale, ref_g / scale,
+                rtol=2e-3, atol=2e-3, err_msg=name)
+
+        # init_conv kernel: the reference's single 259-ch conv grad splits
+        # into our init_conv (latent) + init_conv_cond (features) grads
+        ref_w = ref_sd["denoise_fn.init_conv.weight"].grad.numpy()
+        np.testing.assert_allclose(
+            np.asarray(grads["init_conv"]["Conv_0"]["kernel"]),
+            conv3d_kernel(ref_w[:, :3]), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(grads["init_conv_cond"]["kernel"]),
+            conv3d_kernel(ref_w[:, 3:]), rtol=2e-3, atol=2e-3)
