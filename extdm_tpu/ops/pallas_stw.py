@@ -56,6 +56,16 @@ def backward_kernels_enabled() -> bool:
     return os.environ.get("EXTDM_PALLAS_BWD", "1") == "1"
 
 
+def _attn_io_dtype_casts() -> bool:
+    """Cast attention-matmul operands (q/k/v/probs) to the kernel IO dtype.
+
+    The unfused module/XLA path already runs these matmuls on bf16
+    operands (f32 accumulate); keeping the kernel's operands in f32 costs
+    multiple MXU passes per matmul for no semantic gain. Default on;
+    EXTDM_ATTN_BF16=0 restores full-f32 operands for A/B."""
+    return os.environ.get("EXTDM_ATTN_BF16", "1") == "1"
+
+
 import contextlib
 
 
@@ -270,6 +280,11 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             # in-kernel W8-gather + concat cost ~18 ms/fwd at 32x32.
             mask_add = mask_ref[:].reshape(W8, N, N)  # (KT,1,nww,N,N) view
         # --- attention, one head at a time (lane slices) ---------------
+        if _attn_io_dtype_casts():
+            # match the module path: bf16 operands, f32 accumulate
+            q = q.astype(x_ref.dtype)
+            k = k.astype(x_ref.dtype)
+            v = v.astype(x_ref.dtype)
         outs = []
         for hd in range(heads):
             sl = slice(hd * dim_head, (hd + 1) * dim_head)
@@ -285,7 +300,7 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             e = jnp.exp(s)
             s = e / e.sum(axis=-1, keepdims=True)
             outs.append(jax.lax.dot_general(
-                s, v[:, :, sl],
+                s.astype(v.dtype), v[:, :, sl],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
             ))  # (W8, N, dim_head)
@@ -933,6 +948,11 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
             q = q.reshape(P // G, R, hidden)
             k = k.reshape(P // G, R, hidden)
             v = v.reshape(P // G, R, hidden)
+        if _attn_io_dtype_casts():
+            # match the module path: bf16 operands, f32 accumulate
+            q = q.astype(x_ref.dtype)
+            k = k.astype(x_ref.dtype)
+            v = v.astype(x_ref.dtype)
         outs = []
         for hd in range(heads):
             sl = slice(hd * dim_head, (hd + 1) * dim_head)
@@ -946,7 +966,7 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
             e = jnp.exp(s)
             s = e / e.sum(axis=-1, keepdims=True)
             outs.append(jax.lax.dot_general(
-                s, v[:, :, sl],
+                s.astype(v.dtype), v[:, :, sl],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
             ))
