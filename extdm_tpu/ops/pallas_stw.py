@@ -56,6 +56,27 @@ def backward_kernels_enabled() -> bool:
     return os.environ.get("EXTDM_PALLAS_BWD", "1") == "1"
 
 
+def _window_major(shifted: bool, spatial: int) -> bool:
+    """Window-major STW forward: window partition/reverse as one XLA copy
+    each (fused with the pad/roll copies), kernel operates on a
+    pre-windowed (B, nW, N, C) layout with a trivial BlockSpec — no
+    in-VMEM regroup transposes.
+
+    Measured on-chip (B=32, T=30): in ISOLATION wins on unshifted layers
+    at spatial >= 32 (15.2 -> 9.9 ms at S=32 C=64) and loses elsewhere,
+    but END-TO-END it never pays: all-WM sampling 243.1 f/s, the
+    shape-gated 'auto' 253.5, slab 255.1 — inside the full UNet program
+    the partition/reverse copies stop fusing with the pad/roll and eat
+    the kernel win. Default off; EXTDM_STW_WINDOW_MAJOR=1 forces WM,
+    'auto' applies the isolated-win shape gate, for future A/B."""
+    mode = os.environ.get("EXTDM_STW_WINDOW_MAJOR", "0")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return (not shifted) and spatial >= 32
+
+
 def _attn_io_dtype_casts() -> bool:
     """Cast attention-matmul operands (q/k/v/probs) to the kernel IO dtype.
 
@@ -410,6 +431,169 @@ def _mask_spec(pl, KT, n_ww, N):
                         lambda b, it, ih: (it, ih, 0, 0, 0))
 
 
+# ----------------------------------------------- window-major forward
+def _wm_partition(xp, window):
+    """(B, Tp, Hp, Wp, C) -> (B, nW, N, C), token order (t, h, w) per
+    window, window order (tw, hw, ww) — matches attn_lib.window_partition.
+    One XLA transpose-copy (fused with the preceding pad/roll)."""
+    B, Tp, Hp, Wp, C = xp.shape
+    wd, wh, ww = window
+    n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
+    xw = xp.reshape(B, n_tw, wd, n_hw, wh, n_ww, ww, C)
+    xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return xw.reshape(B, n_tw * n_hw * n_ww, wd * wh * ww, C)
+
+
+def _wm_reverse(ow, window, padded_shape):
+    """Inverse of _wm_partition."""
+    B, Tp, Hp, Wp, C = padded_shape
+    wd, wh, ww = window
+    n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
+    o = ow.reshape(B, n_tw, n_hw, n_ww, wd, wh, ww, C)
+    o = o.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return o.reshape(B, Tp, Hp, Wp, C)
+
+
+def _pick_g(nW: int, N: int, C: int, hidden: int, mult: int = 1) -> int:
+    """Windows per program for the window-major kernel: largest divisor
+    of nW within the token budget and scoped-VMEM cap."""
+    max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "1024"))
+    best = 1
+    for g in range(1, nW + 1):
+        if nW % g:
+            continue
+        tokens = g * N
+        if tokens > max_tokens:
+            break
+        if tokens * mult * _scoped_bytes_per_token(hidden, C) > _scoped_cap():
+            break
+        best = g
+    return best
+
+
+def _make_kernel_wm(G: int, N: int, C: int, heads: int, dim_head: int,
+                    M: int, rot: int, eps: float):
+    """Same math as _make_kernel on a pre-windowed (G, N, C) block: no
+    in-VMEM window regroup/ungroup transposes."""
+    hidden = heads * dim_head
+    f32 = jnp.float32
+
+    def kernel(x_ref, wqkv_ref, wproj_ref, bproj_ref,
+               bias_ref, cos_ref, sin_ref, *rest):
+        mask_ref, o_ref = (rest if M else (None, rest[0]))
+        xb = x_ref[0].astype(f32)  # (G, N, C)
+        mean = xb.mean(-1, keepdims=True)
+        var = ((xb - mean) ** 2).mean(-1, keepdims=True)
+        # gamma is folded into wqkv_ref host-side
+        h = ((xb - mean) * jax.lax.rsqrt(var + eps)).reshape(G * N, C)
+        qkv = jax.lax.dot_general(
+            h.astype(x_ref.dtype), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (G*N, 3*hidden)
+        q = qkv[:, :hidden].reshape(G, N, hidden) * (dim_head ** -0.5)
+        k = qkv[:, hidden:2 * hidden].reshape(G, N, hidden)
+        v = qkv[:, 2 * hidden:].reshape(G, N, hidden)
+        if rot:
+            cos = cos_ref[:].astype(f32)[None]
+            sin = sin_ref[:].astype(f32)[None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, N, hidden), 2)
+            even = (lane % 2) == 0
+
+            def rope(a):
+                up = pltpu.roll(a, hidden - 1, axis=2)
+                down = pltpu.roll(a, 1, axis=2)
+                half = jnp.where(even, -up, down)
+                return a * cos + half * sin
+
+            q, k = rope(q), rope(k)
+        if M:
+            mask_add = mask_ref[:]  # (G, N, N)
+        if _attn_io_dtype_casts():
+            q = q.astype(x_ref.dtype)
+            k = k.astype(x_ref.dtype)
+            v = v.astype(x_ref.dtype)
+        outs = []
+        for hd in range(heads):
+            sl = slice(hd * dim_head, (hd + 1) * dim_head)
+            s = jax.lax.dot_general(
+                q[:, :, sl], k[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # (G, N, N)
+            s = s + bias_ref[hd].astype(f32)[None]
+            if M:
+                s = s + mask_add
+            s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            s = e / e.sum(axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                s.astype(v.dtype), v[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ))  # (G, N, dim_head)
+        o = jnp.concatenate(outs, axis=-1).reshape(G * N, hidden)
+        o = jax.lax.dot_general(
+            o.astype(x_ref.dtype), wproj_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bproj_ref[0].astype(f32)
+        o_ref[0] = (o.reshape(G, N, C) + xb).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _fused_padded_wm(xw, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
+                     masks_exp, *, heads, dim_head, rot, eps, interpret):
+    """Window-major kernel launch. xw: (B, nW, N, C) pre-windowed;
+    masks_exp: (nW, N, N) pre-expanded shift masks or None."""
+    _ensure_pallas()
+    B, nW, N, C = xw.shape
+    hidden = heads * dim_head
+    G = _pick_g(nW, N, C, hidden)
+    M = 0 if masks_exp is None else 1
+
+    x_spec = pl.BlockSpec((1, G, N, C), lambda b, iw: (b, iw, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape,
+                                       lambda b, iw: tuple(0 for _ in shape))
+    in_specs = [
+        x_spec,
+        const((C, 3 * hidden)),
+        const((hidden, C)),
+        const((1, C)),
+        const((heads, N, N)),
+        const((N, hidden)),
+        const((N, hidden)),
+    ]
+    inputs = [
+        xw,
+        (gamma.astype(jnp.float32)[:, None]
+         * w_qkv.astype(jnp.float32)).astype(xw.dtype),
+        w_proj.astype(xw.dtype),
+        b_proj.reshape(1, C).astype(jnp.float32),
+        bias_hnn.astype(jnp.float32), cos, sin,
+    ]
+    if M:
+        in_specs.append(pl.BlockSpec((G, N, N), lambda b, iw: (iw, 0, 0)))
+        inputs.append(masks_exp)
+
+    grid_spec = pl.GridSpec(
+        grid=(B, nW // G),
+        in_specs=in_specs,
+        out_specs=x_spec,
+    )
+    kernel = _make_kernel_wm(G, N, C, heads, dim_head, M, rot, eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(xw.shape, xw.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        interpret=interpret,
+    )(*inputs)
+
+
 # ------------------------------------------------------------- STW backward
 def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                          heads: int, dim_head: int, M: int, n_hw: int,
@@ -738,12 +922,27 @@ def _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
     shifted = any(s > 0 for s in shift)
     if shifted:
         xp = jnp.roll(xp, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-    out = _fused_padded(
-        xp, gamma, w_qkv, w_proj, b_proj, bias_hnn,
-        jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype),
-        masks, mask_ids, window=window, heads=heads, dim_head=dim_head,
-        rot=rot, eps=eps, interpret=interpret,
-    )
+    if _window_major(shifted, min(xp.shape[2], xp.shape[3])):
+        Bp, Tp2, Hp2, Wp2, _ = xp.shape
+        n_tw, n_hw, n_ww = Tp2 // wd, Hp2 // window[1], Wp2 // window[2]
+        masks_exp = None
+        if masks is not None:
+            masks_exp = _expand_masks(masks, mask_ids, n_tw, n_hw, n_ww,
+                                      N).reshape(n_tw * n_hw * n_ww, N, N)
+        xw = _wm_partition(xp, window)
+        ow = _fused_padded_wm(
+            xw, gamma, w_qkv, w_proj, b_proj, bias_hnn,
+            jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype),
+            masks_exp, heads=heads, dim_head=dim_head,
+            rot=rot, eps=eps, interpret=interpret)
+        out = _wm_reverse(ow, window, xp.shape)
+    else:
+        out = _fused_padded(
+            xp, gamma, w_qkv, w_proj, b_proj, bias_hnn,
+            jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype),
+            masks, mask_ids, window=window, heads=heads, dim_head=dim_head,
+            rot=rot, eps=eps, interpret=interpret,
+        )
     if shifted:
         out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
     if pad_d or pad_h or pad_w:

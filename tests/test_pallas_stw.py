@@ -33,9 +33,11 @@ def bias_from_table(table, window, N, heads):
     return jnp.transpose(bias.reshape(N, N, heads), (2, 0, 1))
 
 
+@pytest.mark.parametrize("wm", ["0", "1"])
 @pytest.mark.parametrize("shift", [(0, 0, 0), (2, 2, 2)])
 @pytest.mark.parametrize("shape", [(2, 6, 8, 8, 32), (1, 4, 4, 8, 16)])
-def test_fused_matches_reference(shape, shift):
+def test_fused_matches_reference(shape, shift, wm, monkeypatch):
+    monkeypatch.setenv("EXTDM_STW_WINDOW_MAJOR", wm)
     window = (4, 4, 4)
     heads, dim_head = 4, 8
     B, T, H, W, C = shape
