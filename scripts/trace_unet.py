@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--logdir", default="/tmp/unet_trace")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--stage", default="unet", choices=["unet", "encode", "decode"])
     args = ap.parse_args()
 
     from bench import KTH_FLOW_PARAMS
@@ -58,20 +59,37 @@ def main():
     x_cond = jax.jit(fd.latents_from_encode)(enc)
     x = jnp.asarray(np.random.RandomState(1).rand(B, tp, 32, 32, 3), jnp.float32)
 
-    @jax.jit
-    def unet_fwd(uv, x, x_cond, fea):
-        t = jnp.zeros((x.shape[0],), jnp.int32)
-        return fd.unet.apply(uv, x, t, x_cond, fea, path=cfg.path)
+    if args.stage == "unet":
+        @jax.jit
+        def fn(uv, x, x_cond, fea):
+            t = jnp.zeros((x.shape[0],), jnp.int32)
+            return fd.unet.apply(uv, x, t, x_cond, fea, path=cfg.path)
+        fargs = (uv, x, x_cond, fea)
+        sync = lambda o: float(np.asarray(o[0, 0, 0, 0, 0]))
+    elif args.stage == "encode":
+        fn = encode
+        fargs = (lv, cond)
+        sync = lambda o: float(np.asarray(o["flow"][0, 0, 0, 0, 0]))
+    elif args.stage == "decode":
+        @jax.jit
+        def fn(lv, cond, flow, conf):
+            return fd.lfae.apply(lv, cond[:, tc - 1], flow, conf,
+                                 method=type(fd.lfae).decode_flows)
+        flow = jnp.asarray(np.random.RandomState(2).rand(B, tp, 32, 32, 2) * 2 - 1,
+                           jnp.float32)
+        conf = jnp.asarray(np.random.RandomState(3).rand(B, tp, 32, 32, 1),
+                           jnp.float32)
+        fargs = (lv, cond, flow, conf)
+        sync = lambda o: float(np.asarray(o["out_vid"][0, 0, 0, 0, 0]))
+    else:
+        sys.exit(f"unknown stage {args.stage}")
 
-    def sync(o):
-        return float(np.asarray(o[0, 0, 0, 0, 0]))
-
-    sync(unet_fwd(uv, x, x_cond, fea))  # compile + settle
-    sync(unet_fwd(uv, x, x_cond, fea))
+    sync(fn(*fargs))  # compile + settle
+    sync(fn(*fargs))
 
     jax.profiler.start_trace(args.logdir)
     for _ in range(args.iters):
-        sync(unet_fwd(uv, x, x_cond, fea))
+        sync(fn(*fargs))
     jax.profiler.stop_trace()
     print("trace written to", args.logdir)
 
