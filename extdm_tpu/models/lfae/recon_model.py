@@ -76,6 +76,15 @@ class ReconstructionModel(nn.Module):
         if self.vgg is not None and sum(percep_w) != 0:
             total = 0.0
             for scale in self.scales:
+                side = min(driving.shape[1], driving.shape[2]) * scale
+                if side < 16:
+                    # VGG19's relu5_1 sits at stride 16: a smaller pyramid
+                    # level pools down to a ZERO-size map whose mean is NaN
+                    # — silently poisoning every step. Fail loudly instead.
+                    raise ValueError(
+                        f"perceptual scale {scale} on {driving.shape[1]}x"
+                        f"{driving.shape[2]} frames gives a {side:g}px VGG "
+                        f"input (< 16px); drop the scale or use larger frames")
                 gen_s = antialias_downsample(generated["prediction"], scale)
                 real_s = antialias_downsample(driving, scale)
                 x_feats = self.vgg(gen_s)

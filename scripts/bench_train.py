@@ -31,6 +31,59 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_ae(args):
+    """Stage-1 (LFAE) train step: region/bg predictors + generator fwd,
+    VGG19 multi-scale perceptual + TPS equivariance + recon losses,
+    Adam update — the full scripts/AE/train.py iteration."""
+    import yaml
+
+    from extdm_tpu.config import ae_model_kwargs
+    from extdm_tpu.models.lfae.recon_model import ReconstructionModel
+    from extdm_tpu.train.ae_trainer import AETrainer, make_optimizer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "configs/AE/kth.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    model = ReconstructionModel(
+        train=True, dtype=jnp.bfloat16 if args.bf16 else None,
+        **ae_model_kwargs(cfg))
+    hw = cfg["dataset_params"]["frame_shape"]
+    init_batch = {"source": jnp.zeros((2, hw, hw, 3)),
+                  "driving": jnp.zeros((2, hw, hw, 3))}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "tps": jax.random.PRNGKey(1)}, init_batch)
+    tp = cfg["flow_params"]["train_params"]
+    sched = tp["scheduler_param"]
+    trainer = AETrainer(model, make_optimizer(tp["lr"], sched["milestones"],
+                                              sched["gamma"]))
+    state = trainer.init_state(variables)
+    step_fn = jax.jit(trainer.train_step)
+
+    rs = np.random.RandomState(0)
+    batch = {"source": jnp.asarray(rs.rand(args.batch, hw, hw, 3), jnp.float32),
+             "driving": jnp.asarray(rs.rand(args.batch, hw, hw, 3), jnp.float32)}
+    state, aux = step_fn(state, jax.random.PRNGKey(2), batch)
+    float(np.asarray(aux["loss_total"] if "loss_total" in aux else
+                     list(aux.values())[0]))
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        state, aux = step_fn(state, jax.random.fold_in(jax.random.PRNGKey(3), i), batch)
+        float(np.asarray(list(aux.values())[0]))
+        times.append(time.perf_counter() - t0)
+    print("per-iter seconds:", [round(t, 3) for t in times], file=sys.stderr)
+    ms = float(np.median(times)) * 1000.0
+    print(json.dumps({
+        "metric": "kth_ae_train_step",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "pairs_per_sec": round(args.batch / (ms / 1000.0), 1),
+        "batch": args.batch,
+        "bf16": args.bf16,
+        "loss_total": round(float(np.asarray(aux["loss_total"])), 4),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     # batch 16 is the single-chip throughput sweet spot (measured: b8 694,
@@ -38,7 +91,14 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--stage", default="dm", choices=["dm", "ae"])
+    ap.add_argument("--bf16", action="store_true",
+                    help="AE stage only: bf16 compute policy (f32 matches the reference)")
     args = ap.parse_args()
+
+    if args.stage == "ae":
+        bench_ae(args)
+        return
 
     from bench import KTH_FLOW_PARAMS
     from extdm_tpu.models.dm import FlowDiffusion, FlowDiffusionConfig

@@ -39,6 +39,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--valid_every", type=int, default=None)
     p.add_argument("--learnable_loss_weights", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute policy (params/BN stats stay f32; "
+                        "default f32 matches the reference numerics; "
+                        "measured +14%% step throughput on v5e)")
     p.add_argument("--nan_guard", type=int, default=0,
                    help="skip non-finite update steps in-graph; error after "
                         "N consecutive bad steps (0 = off)")
@@ -80,7 +84,9 @@ def main():
     loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
                         seed=args.seed)
 
-    model = ReconstructionModel(train=True, **ae_model_kwargs(cfg))
+    model = ReconstructionModel(train=True,
+                                dtype=jnp.bfloat16 if args.bf16 else None,
+                                **ae_model_kwargs(cfg))
     mesh = make_data_mesh(batch_size)
     print(f"mesh: {dict(mesh.shape)}")
 
