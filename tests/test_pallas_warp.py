@@ -56,15 +56,39 @@ class TestFusedGridSample:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_grad_matches_xla(self):
+    @pytest.mark.parametrize("bwd", ["0", "1"])
+    @pytest.mark.parametrize("mode", ["zeros", "border", "reflection"])
+    def test_grad_matches_xla(self, mode, bwd, monkeypatch):
+        monkeypatch.setenv("EXTDM_PALLAS_WARP_BWD", bwd)
         rs = np.random.RandomState(4)
         img, grid = _rand_case(rs, 2, 8, 8, 3, spread=1.1)
+        # non-uniform cotangent so d_grid exercises every weight path
+        w = jnp.asarray(rs.rand(2, 8, 8, 3), jnp.float32)
 
         def f_fused(im, gr):
-            return pallas_warp.grid_sample(im, gr, "zeros", interpret=True).sum()
+            return (w * pallas_warp.grid_sample(im, gr, mode, interpret=True)).sum()
 
         def f_ref(im, gr):
-            return grid_sample_xla(im, gr, "zeros").sum()
+            return (w * grid_sample_xla(im, gr, mode)).sum()
+
+        gi_f, gg_f = jax.grad(f_fused, argnums=(0, 1))(img, grid)
+        gi_r, gg_r = jax.grad(f_ref, argnums=(0, 1))(img, grid)
+        np.testing.assert_allclose(np.asarray(gi_f), np.asarray(gi_r),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gg_f), np.asarray(gg_r),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_grad_matches_xla_lfae_shape(self):
+        # the AE-training hot shape family (32x32 sparse warps), pallas bwd
+        rs = np.random.RandomState(5)
+        img, grid = _rand_case(rs, 3, 32, 32, 3)
+
+        def f_fused(im, gr):
+            return jnp.sin(pallas_warp.grid_sample(im, gr, "zeros",
+                                                   interpret=True)).sum()
+
+        def f_ref(im, gr):
+            return jnp.sin(grid_sample_xla(im, gr, "zeros")).sum()
 
         gi_f, gg_f = jax.grad(f_fused, argnums=(0, 1))(img, grid)
         gi_r, gg_r = jax.grad(f_ref, argnums=(0, 1))(img, grid)
