@@ -55,6 +55,10 @@ class Unit3D(nn.Module):
     use_bn: bool = True
     activation: bool = True
     use_bias: bool = False
+    # 1e-3 matches the TF kinetics-i3d / TorchScript FVD backbone; the
+    # reference's pure-torch fallback (metrics/pytorch_i3d.py:69) uses
+    # torch's 1e-5 — pass bn_eps=1e-5 when loading weights from it.
+    bn_eps: float = 1e-3
     dtype: Any = None
 
     @nn.compact
@@ -64,7 +68,7 @@ class Unit3D(nn.Module):
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pads, use_bias=self.use_bias, dtype=self.dtype, name="conv3d")(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=True, epsilon=self.bn_eps, dtype=self.dtype,
                              name="bn")(x)
         if self.activation:
             x = nn.relu(x)
@@ -74,17 +78,18 @@ class Unit3D(nn.Module):
 class InceptionModule(nn.Module):
     out_channels: List[int]
     dtype: Any = None
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x):
         oc = self.out_channels
-        b0 = Unit3D(oc[0], (1, 1, 1), dtype=self.dtype, name="b0")(x)
-        b1 = Unit3D(oc[1], (1, 1, 1), dtype=self.dtype, name="b1a")(x)
-        b1 = Unit3D(oc[2], (3, 3, 3), dtype=self.dtype, name="b1b")(b1)
-        b2 = Unit3D(oc[3], (1, 1, 1), dtype=self.dtype, name="b2a")(x)
-        b2 = Unit3D(oc[4], (3, 3, 3), dtype=self.dtype, name="b2b")(b2)
+        b0 = Unit3D(oc[0], (1, 1, 1), bn_eps=self.bn_eps, dtype=self.dtype, name="b0")(x)
+        b1 = Unit3D(oc[1], (1, 1, 1), bn_eps=self.bn_eps, dtype=self.dtype, name="b1a")(x)
+        b1 = Unit3D(oc[2], (3, 3, 3), bn_eps=self.bn_eps, dtype=self.dtype, name="b1b")(b1)
+        b2 = Unit3D(oc[3], (1, 1, 1), bn_eps=self.bn_eps, dtype=self.dtype, name="b2a")(x)
+        b2 = Unit3D(oc[4], (3, 3, 3), bn_eps=self.bn_eps, dtype=self.dtype, name="b2b")(b2)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), dtype=self.dtype, name="b3b")(b3)
+        b3 = Unit3D(oc[5], (1, 1, 1), bn_eps=self.bn_eps, dtype=self.dtype, name="b3b")(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -93,23 +98,24 @@ class InceptionI3d(nn.Module):
     Returns 400-d features (pre-softmax logits averaged over time)."""
 
     num_classes: int = 400
+    bn_eps: float = 1e-3
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x)
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), bn_eps=self.bn_eps, dtype=self.dtype, name="Conv3d_1a_7x7")(x)
         x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
-        x = Unit3D(64, (1, 1, 1), dtype=self.dtype, name="Conv3d_2b_1x1")(x)
-        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, name="Conv3d_2c_3x3")(x)
+        x = Unit3D(64, (1, 1, 1), bn_eps=self.bn_eps, dtype=self.dtype, name="Conv3d_2b_1x1")(x)
+        x = Unit3D(192, (3, 3, 3), bn_eps=self.bn_eps, dtype=self.dtype, name="Conv3d_2c_3x3")(x)
         x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
-        x = InceptionModule(INCEPTION_CHANNELS["Mixed_3b"], self.dtype, name="Mixed_3b")(x)
-        x = InceptionModule(INCEPTION_CHANNELS["Mixed_3c"], self.dtype, name="Mixed_3c")(x)
+        x = InceptionModule(INCEPTION_CHANNELS["Mixed_3b"], self.dtype, bn_eps=self.bn_eps, name="Mixed_3b")(x)
+        x = InceptionModule(INCEPTION_CHANNELS["Mixed_3c"], self.dtype, bn_eps=self.bn_eps, name="Mixed_3c")(x)
         x = max_pool_same(x, (3, 3, 3), (2, 2, 2))
         for name in ["Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"]:
-            x = InceptionModule(INCEPTION_CHANNELS[name], self.dtype, name=name)(x)
+            x = InceptionModule(INCEPTION_CHANNELS[name], self.dtype, bn_eps=self.bn_eps, name=name)(x)
         x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
-        x = InceptionModule(INCEPTION_CHANNELS["Mixed_5b"], self.dtype, name="Mixed_5b")(x)
-        x = InceptionModule(INCEPTION_CHANNELS["Mixed_5c"], self.dtype, name="Mixed_5c")(x)
+        x = InceptionModule(INCEPTION_CHANNELS["Mixed_5b"], self.dtype, bn_eps=self.bn_eps, name="Mixed_5b")(x)
+        x = InceptionModule(INCEPTION_CHANNELS["Mixed_5c"], self.dtype, bn_eps=self.bn_eps, name="Mixed_5c")(x)
 
         # avg-pool (2, 7, 7) valid, then 1x1 logits conv, then temporal mean
         x = nn.avg_pool(x, (2, 7, 7), strides=(1, 1, 1), padding="VALID")
