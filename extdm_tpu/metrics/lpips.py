@@ -70,8 +70,9 @@ class LPIPS(nn.Module):
         H, W = x0.shape[1:3]
         total = 0.0
         for i, (a, b) in enumerate(zip(f0, f1)):
-            a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            # lpips normalize_tensor: eps OUTSIDE the sqrt
+            a = a / (jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True)) + 1e-10)
             diff = (a - b) ** 2
             w = self.param(f"lin{i}", nn.initializers.uniform(0.1), (diff.shape[-1], 1))
             val = diff @ jnp.abs(w)  # lpips clamps lin weights >= 0
