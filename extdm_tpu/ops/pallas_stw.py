@@ -1417,9 +1417,9 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         qp, kp, vp = pack(q), pack(k), pack(v)
 
         def softmax_h(hd):
-            # p is recomputed per head in the second loop rather than
-            # stashed for all heads — halves peak VMEM for one extra
-            # QK^T matmul per head.
+            # p lives only for one head-iteration of the merged loop
+            # below — a single (Pg, R, R) buffer of peak VMEM, computed
+            # exactly once per head.
             sl = slice(hd * dim_head, (hd + 1) * dim_head)
             s = jax.lax.dot_general(
                 qp[:, :, sl], kp[:, :, sl],
@@ -1431,23 +1431,8 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
             e = jnp.exp(s)
             return e / e.sum(axis=-1, keepdims=True)
 
-        outs = []
-        for hd in range(heads):
-            sl = slice(hd * dim_head, (hd + 1) * dim_head)
-            outs.append(jax.lax.dot_general(
-                softmax_h(hd), vp[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
-        o = unpack(jnp.concatenate(outs, axis=-1)).reshape(P * T, hidden)
-
-        # ---- backward: output projection --------------------------------
+        # do is independent of o, so it can precede the merged head loop
         ga_flat = ga.reshape(P * T, C)
-        dwproj_ref[:] += jax.lax.dot_general(
-            o.astype(dtype), ga_flat.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(dwproj_ref.dtype)
         do = jax.lax.dot_general(
             ga_flat.astype(dtype), wproj_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1455,11 +1440,25 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         ).reshape(P, T, hidden)
         dop = pack(do)
 
-        # ---- backward: attention per head --------------------------------
+        # ---- merged recompute + backward per head ------------------------
+        # One softmax per head serves both the o_h recompute (for the
+        # dwproj row-slice) and the attention backward.
         dqs, dks, dvs = [], [], []
         for hd in range(heads):
             sl = slice(hd * dim_head, (hd + 1) * dim_head)
             p = softmax_h(hd)
+            # pack/unpack are pure reshapes, so (Pg, R, dh) flattens
+            # straight to (P*T, dh)
+            o_h = jax.lax.dot_general(
+                p, vp[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ).reshape(P * T, dim_head)
+            dwproj_ref[sl, :] += jax.lax.dot_general(
+                o_h.astype(dtype), ga_flat.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(dwproj_ref.dtype)
             dO = dop[:, :, sl]
             dP = jax.lax.dot_general(
                 dO, vp[:, :, sl],
