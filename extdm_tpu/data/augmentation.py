@@ -88,7 +88,9 @@ def _luma(img: np.ndarray) -> np.ndarray:
 
 
 def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
-    mean = _luma(img).mean()
+    # per-IMAGE luma mean (torchvision semantics); on a stacked (T, H, W, C)
+    # clip the mean is per frame, so batched == frame-by-frame application.
+    mean = _luma(img).mean(axis=(-2, -1), keepdims=True)[..., None]
     return np.clip(mean * (1 - factor) + img * factor, 0.0, 1.0)
 
 
@@ -98,10 +100,17 @@ def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
 
 
 def adjust_hue(img: np.ndarray, hue: float) -> np.ndarray:
-    """hue in [-0.5, 0.5] — fraction of a full hue rotation (torchvision)."""
-    hsv = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_RGB2HSV)
+    """hue in [-0.5, 0.5] — fraction of a full hue rotation (torchvision).
+
+    Accepts (H, W, C) or a stacked (T, H, W, C) clip — cvtColor is
+    pixelwise, so the clip is flattened to (T*H, W, C) for one cv2 call
+    (one-core host: per-frame cv2 dispatch dominated the jitter cost)."""
+    shape = img.shape
+    flat = img.astype(np.float32).reshape(-1, shape[-2], shape[-1])
+    hsv = cv2.cvtColor(flat, cv2.COLOR_RGB2HSV)
     hsv[..., 0] = np.mod(hsv[..., 0] + hue * 360.0, 360.0)
-    return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0.0, 1.0)
+    out = np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0.0, 1.0)
+    return out.reshape(shape)
 
 
 class ColorJitter:
@@ -130,12 +139,14 @@ class ColorJitter:
         if c is not None:
             ops.append(lambda img: adjust_contrast(img, c))
         random.shuffle(ops)
-        out = []
-        for img in clip:
-            for op in ops:
-                img = op(img)
-            out.append(img.astype(np.float32))
-        return out
+        # One vectorized pass over the stacked clip: every adjust_* is
+        # frame-independent (contrast keeps per-frame means), so batched
+        # application is numerically identical to the per-frame loop and
+        # ~T x cheaper in op dispatch on the one-core host.
+        stacked = np.stack(clip).astype(np.float32)
+        for op in ops:
+            stacked = op(stacked)
+        return list(stacked.astype(np.float32))
 
 
 class AllAugmentationTransform:

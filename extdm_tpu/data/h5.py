@@ -46,6 +46,10 @@ class HDF5VideoStore:
         self.cum_lengths = np.cumsum(self.shard_lengths)
         self.total_num = int(self.cum_lengths[-1])
         self._local = threading.local()
+        # static per-video frame counts, read lazily per shard: the `len`
+        # datasets never change, and re-reading them per __getitem__ was
+        # ~30% of item cost on the one-core host (see scripts/bench_loader).
+        self._len_cache: dict = {}
 
     @staticmethod
     def _shard_len(path: str) -> int:
@@ -69,19 +73,37 @@ class HDF5VideoStore:
     def __len__(self) -> int:
         return self.total_num
 
+    def _shard_video_len(self, shard_idx: int, key: str) -> int:
+        lens = self._len_cache.get(shard_idx)
+        if lens is None:
+            f = self._open(shard_idx)
+            grp = f["len"]
+            lens = {k: int(grp[k][()]) for k in grp.keys()}
+            self._len_cache[shard_idx] = lens
+        return lens[key]
+
     def video_length(self, idx: int) -> int:
         shard_idx, key = self.get_indices(idx % self.total_num)
-        f = self._open(shard_idx)
-        return int(f["len"][key][()])
+        return self._shard_video_len(shard_idx, key)
 
     def read_frames(self, idx: int, start: int, num: int) -> np.ndarray:
-        """Read frames [start, start+num) of video `idx` as one array."""
+        """Read frames [start, start+num) of video `idx` as one array.
+
+        Uses the low-level h5py dataset API: the reference layout stores
+        every frame as its own dataset, and building a high-level Group +
+        Dataset wrapper per frame was the top cost of the whole input
+        pipeline (group.__getitem__, ~0.12 ms each on this host)."""
         shard_idx, key = self.get_indices(idx % self.total_num)
         f = self._open(shard_idx)
-        grp = f[key]
-        total = int(f["len"][key][()])
+        total = self._shard_video_len(shard_idx, key)
         stop = min(start + num, total)
-        frames = [grp[str(i)][()] for i in range(start, stop)]
+        fid = f.id
+        frames = []
+        for i in range(start, stop):
+            did = h5py.h5d.open(fid, f"{key}/{i}".encode())
+            arr = np.empty(did.shape, dtype=did.dtype)
+            did.read(h5py.h5s.ALL, h5py.h5s.ALL, arr)
+            frames.append(arr)
         return np.stack(frames)
 
     def attr(self, name: str):
