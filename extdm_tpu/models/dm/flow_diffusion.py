@@ -360,6 +360,53 @@ class FlowDiffusion:
             aux["rec_warp_loss"] = jnp.abs(gt_pred * 10.0 - dec["warped_vid"] * 10.0).mean()
         return loss, aux
 
+    # ---- training artifact monitor ------------------------------------------------
+    def make_monitor(self):
+        """Jitted monitor for DM-training img/vidshot artifacts (ref
+        scripts/DM/train.py:281-399). The reference computes these tensors
+        inside *every* training forward (no-grad decodes, u22.py:348-411);
+        here they live in a separate program invoked only at
+        save_img_freq/save_vid_freq, so the hot train step stays lean.
+
+        Returns fn(lfae_variables, unet_variables, key, video) -> dict with
+        the reference ret-dict keys: ref_imgs, real/fake_out_vid,
+        real/fake_warped_vid, real/fake_vid_grid, real/fake_vid_conf.
+        video: (B, tc+tp, H, W, C) in [0,1]; fake_* are built from the
+        training-step pred_x0 at a random diffusion time (same as ref).
+        """
+        cfg = self.cfg
+        tc, tp = cfg.cond_frames, cfg.pred_frames
+
+        @jax.jit
+        def monitor(lv, uv, key, video):
+            enc = self.lfae.apply(lv, video, tc, True, method=LFAE.encode_video)
+            fea = None
+            if cfg.use_ref_features:
+                fea = self.lfae.apply(lv, video, tc, tp, method=LFAE.ref_features)
+            frames = self.latents_from_encode(enc)
+            _, pred_x0 = self.diffusion.p_losses(
+                self.denoise_fn(uv), key, frames[:, :tc], frames[:, tc : tc + tp], fea
+            )
+            fake_flow = self.flow_from_pred(pred_x0)
+            fake_conf = None
+            if enc["conf"] is not None:
+                fake_conf = (pred_x0[..., 2:3] + 1.0) * 0.5
+            dec = self.lfae.apply(lv, video[:, tc - 1], fake_flow, fake_conf,
+                                  method=LFAE.decode_flows)
+            return {
+                "ref_imgs": video[:, tc - 1],
+                "real_out_vid": enc["out_vid"],
+                "real_warped_vid": enc["warped_vid"],
+                "real_vid_grid": enc["flow"],
+                "real_vid_conf": enc["conf"],
+                "fake_out_vid": dec["out_vid"],
+                "fake_warped_vid": dec["warped_vid"],
+                "fake_vid_grid": fake_flow,
+                "fake_vid_conf": fake_conf,
+            }
+
+        return monitor
+
     # ---- sampling ---------------------------------------------------------------
     def make_sampler(self, lfae_variables, unet_variables, decode: bool = True):
         """Split-program sampler: encode / DDIM-scan / finalize+decode as

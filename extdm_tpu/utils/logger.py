@@ -97,3 +97,12 @@ class StepTimer:
         now = time.perf_counter()
         self.batch_time.update(now - self._last)
         self._last = now
+
+    def reset(self):
+        """Drop accumulated averages (typically after step 0, whose
+        compile time would otherwise poison batch_time.avg for the whole
+        run — the first AE train step compiles for minutes on the
+        tunneled TPU while steady-state steps are sub-second)."""
+        self.batch_time.reset()
+        self.data_time.reset()
+        self._last = time.perf_counter()

@@ -67,6 +67,71 @@ def save_image(path: str, img: np.ndarray) -> None:
     imageio.imwrite(path, img if img.dtype == np.uint8 else to_uint8(img))
 
 
+def _nearest_upscale(img: np.ndarray, size: int) -> np.ndarray:
+    """Integer nearest-neighbor upscale of (h, w[, c]) to (size, size[, c])."""
+    r = max(1, size // img.shape[0])
+    out = np.repeat(np.repeat(img, r, axis=0), r, axis=1)
+    return out[:size, :size]
+
+
+def dm_shot_panel(ret: dict, target_frame: np.ndarray, nf: int, tc: int) -> np.ndarray:
+    """One 2x5 DM training shot frame (ref scripts/DM/train.py:316-345):
+
+        | src | real_out | real_warp | real_grid | real_conf |
+        | tar | fake_out | fake_warp | fake_grid | fake_conf |
+
+    `ret` is FlowDiffusion.make_monitor output (numpy, batch element 0 is
+    rendered), `target_frame` the real video frame at absolute index nf,
+    `nf` in [tc, tc+tp). Returns (2*msk, 5*msk, 3) uint8.
+    """
+    from extdm_tpu.utils.flow_viz import conf2fig, grid2fig
+
+    msk = target_frame.shape[0]
+    nfp = nf - tc  # index into the fake (pred-only) tensors
+
+    def px(img):
+        return to_uint8(np.asarray(img, np.float32))
+
+    def conf_img(conf):
+        if conf is None:
+            return np.full((msk, msk, 3), 255, np.uint8)
+        g = _nearest_upscale(conf2fig(np.asarray(conf, np.float32)), msk)
+        return np.stack([g] * 3, axis=-1)
+
+    def grid_img(grid):
+        return grid2fig(np.asarray(grid, np.float32), grid_size=12, img_size=msk)
+
+    top = [
+        px(ret["ref_imgs"][0]),
+        px(ret["real_out_vid"][0, nf]),
+        px(ret["real_warped_vid"][0, nf]),
+        grid_img(ret["real_vid_grid"][0, nf]),
+        conf_img(None if ret.get("real_vid_conf") is None else ret["real_vid_conf"][0, nf]),
+    ]
+    bot = [
+        px(target_frame),
+        px(ret["fake_out_vid"][0, nfp]),
+        px(ret["fake_warped_vid"][0, nfp]),
+        grid_img(ret["fake_vid_grid"][0, nfp]),
+        conf_img(None if ret.get("fake_vid_conf") is None else ret["fake_vid_conf"][0, nfp]),
+    ]
+    return np.concatenate(
+        [np.concatenate(top, axis=1), np.concatenate(bot, axis=1)], axis=0
+    )
+
+
+def dm_imgshot(ret: dict, video: np.ndarray, tc: int, tp: int) -> np.ndarray:
+    """The reference imgshot: one panel at the middle predicted frame."""
+    nf = tc + tp // 2
+    return dm_shot_panel(ret, np.asarray(video[0, nf], np.float32), nf, tc)
+
+
+def dm_vidshot(ret: dict, video: np.ndarray, tc: int, tp: int) -> List[np.ndarray]:
+    """The reference vidshot: one panel per predicted frame -> gif frames."""
+    return [dm_shot_panel(ret, np.asarray(video[0, nf], np.float32), nf, tc)
+            for nf in range(tc, tc + tp)]
+
+
 def visualize_comparison_gif(
     path: str,
     real: np.ndarray,

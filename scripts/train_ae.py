@@ -27,6 +27,68 @@ enable_compilation_cache()
 import numpy as np
 
 
+def run_ae_validation(cfg, state, seed, num_videos, batch_size, cache):
+    """Periodic stage-1 validation (ref scripts/AE/train.py:361-371,
+    397-545): the last cond frame is warped to every frame of held-out
+    videos via the full LFAE; FVD/PSNR/SSIM/LPIPS on the reconstructions.
+    `cache` persists the jitted encode fn, metric backbones, and loader
+    across calls. Returns a metrics dict incl. i3d_pretrained."""
+    import numpy as np
+
+    from extdm_tpu.data import DataLoader, VideoDataset, to_rgb_video
+    from extdm_tpu.metrics import (
+        I3DExtractor, LPIPSMetric, calculate_fvd2, calculate_psnr1, calculate_ssim1,
+    )
+    from extdm_tpu.models.dm.flow_diffusion import LFAE
+    from extdm_tpu.train import restore_like
+
+    dp = cfg["dataset_params"]
+    vp = dp["valid_params"]
+    tc = vp["cond_frames"]
+    nf = tc + vp["pred_frames"]
+    if "lfae" not in cache:
+        lfae = LFAE(flow_params=cfg["flow_params"]["model_params"])
+        video0 = jnp.zeros((1, nf, dp["frame_shape"], dp["frame_shape"], 3))
+        cache["lfae"] = lfae
+        cache["template"] = jax.jit(lfae.init, static_argnums=(2,))(
+            jax.random.PRNGKey(0), video0, tc)
+        cache["encode"] = jax.jit(
+            lambda v, vid: lfae.apply(v, vid, tc, True, method=LFAE.encode_video))
+        cache["extractor"] = I3DExtractor()
+        cache["lpips"] = LPIPSMetric()
+        ds = VideoDataset(dp["root_dir"], type=vp["type"], total_videos=num_videos,
+                          num_frames=nf, image_size=dp["frame_shape"],
+                          random_time=False, seed=seed)
+        cache["loader"] = DataLoader(ds, batch_size, shuffle=False, num_workers=4,
+                                     drop_last=False, seed=seed)
+    keys = ("region_predictor", "bg_predictor", "generator")
+    variables = restore_like(cache["template"], {
+        "params": {k: state.params[k] for k in keys},
+        "batch_stats": {k: state.batch_stats.get(k, {}) for k in keys},
+    })
+    reals, recons = [], []
+    for clips, _ in cache["loader"]:
+        video = jnp.asarray(np.stack([to_rgb_video(c) for c in clips]))
+        out = cache["encode"](variables, video)
+        reals.append(np.asarray(video))
+        recons.append(np.asarray(out["out_vid"], np.float32))
+    real = np.concatenate(reals)
+    recon = np.concatenate(recons)
+
+    def tchw(v):
+        return v.transpose(0, 1, 4, 2, 3)
+
+    psnr, _ = calculate_psnr1(tchw(recon), tchw(real))
+    ssim, _ = calculate_ssim1(tchw(recon), tchw(real))
+    fvd = calculate_fvd2(cache["extractor"].get_feats(recon),
+                         cache["extractor"].get_feats(real))
+    lp, _ = cache["lpips"].calculate_lpips1(recon, real)
+    return {"valid_fvd": fvd, "valid_psnr": float(psnr["psnr"]),
+            "valid_ssim": float(ssim["ssim"]), "valid_lpips": float(lp["lpips"]),
+            "i3d_pretrained": float(cache["extractor"].pretrained),
+            "lpips_pretrained": float(cache["lpips"].pretrained)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
@@ -37,7 +99,12 @@ def main():
     p.add_argument("--set_start", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--valid_every", type=int, default=None)
+    p.add_argument("--valid_every", type=int, default=None,
+                   help="validate every N steps with FVD-gated best ckpt "
+                        "(default: the config's update_ckpt_freq, matching "
+                        "ref scripts/AE/train.py:361-371; 0 = off)")
+    p.add_argument("--valid_videos", type=int, default=16)
+    p.add_argument("--valid_batch_size", type=int, default=8)
     p.add_argument("--learnable_loss_weights", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute policy (params/BN stats stay f32; "
@@ -49,6 +116,10 @@ def main():
     p.add_argument("--shard_map", action="store_true",
                    help="explicit shard_map DP step with cross-replica "
                         "SyncBN instead of the GSPMD/pjit path")
+    p.add_argument("--loader", default="thread", choices=["thread", "process"],
+                   help="worker type: 'process' forks one worker per batch "
+                        "(wins on multi-core hosts where cv2 augmentation "
+                        "is GIL-bound; neutral on single-core)")
     args = p.parse_args()
 
     from extdm_tpu.config import ae_model_kwargs, load_config
@@ -82,7 +153,7 @@ def main():
     )
     dataset = DatasetRepeater(dataset, tp.get("num_repeats", 1))
     loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
-                        seed=args.seed)
+                        seed=args.seed, worker_type=args.loader)
 
     model = ReconstructionModel(train=True,
                                 dtype=jnp.bfloat16 if args.bf16 else None,
@@ -124,6 +195,9 @@ def main():
     max_steps = args.max_steps or (tp["max_epochs"] * max(len(loader), 1))
     print_freq = tp.get("print_freq", 100)
     save_freq = tp.get("update_ckpt_freq", 2500)
+    valid_every = save_freq if args.valid_every is None else args.valid_every
+    best_fvd = float("inf")
+    valid_cache = {}
     img_freq = tp.get("save_img_freq", 0)
     imgshot_dir = os.path.join(args.log_dir, "imgshots")
 
@@ -157,8 +231,15 @@ def main():
                 timer.mark_step(aux["loss_total"])
                 if step % print_freq == 0:
                     vals = {k: float(v) for k, v in aux.items()}
-                    metrics_log.log(step, **vals, batch_time=timer.batch_time.avg)
+                    from extdm_tpu.train.dm_trainer import notfinite_count
+                    nf = notfinite_count(state.opt_state)
+                    if nf is not None:
+                        vals["skipped_nonfinite"] = float(nf)
+                    metrics_log.log(step, **vals, batch_time=timer.batch_time.avg,
+                                    data_time=timer.data_time.avg)
                     print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+                    if step == 0:
+                        timer.reset()  # exclude compile from batch_time.avg
                 if step > 0 and step % save_freq == 0:
                     save_checkpoint(
                         os.path.join(args.log_dir, "RegionMM.ckpt"),
@@ -166,6 +247,24 @@ def main():
                     )
                 if img_freq and step > 0 and step % img_freq == 0:
                     save_imgshot(state, batch, step)
+                if valid_every and step > 0 and step % valid_every == 0:
+                    vm = run_ae_validation(cfg, state, args.seed, args.valid_videos,
+                                           args.valid_batch_size, valid_cache)
+                    metrics_log.log(step, **vm)
+                    print(f"valid @ {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vm.items()))
+                    if not vm["i3d_pretrained"]:
+                        print("WARNING: FVD computed with a RANDOM-INIT I3D: "
+                              "values are deterministic but NOT comparable to "
+                              "published numbers; best-ckpt gating is tagged "
+                              "'randI3D'.")
+                    if vm["valid_fvd"] < best_fvd:
+                        best_fvd = vm["valid_fvd"]
+                        from extdm_tpu.train import gate_best
+                        ck = os.path.join(args.log_dir, "RegionMM.ckpt")
+                        save_checkpoint(ck, {"example": step * batch_size,
+                                             "step": step, "state": state})
+                        prefix = "RegionMM" if vm["i3d_pretrained"] else "RegionMM_randI3D"
+                        gate_best(ck, args.log_dir, best_fvd, prefix)
                 step += 1
 
     save_checkpoint(os.path.join(args.log_dir, "RegionMM.ckpt"),
