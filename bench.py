@@ -5,11 +5,31 @@ dim_mults (1,2,4,4), DDIM-10, MotionAdaptor conditioning) end-to-end:
 LFAE cond encode -> DDIM scan -> LFAE pixel decode, all in one jitted
 program, and reports sampled frames/sec/chip.
 
-Baseline: a PyTorch A100 estimate for the same pipeline. The reference
-stores no throughput number (SURVEY §6); the documented estimate below is
-derived from the reference's per-frame generator decode loop + 10 UNet
-passes at batch 4 (~2.5 s/batch => ~32 frames/s). vs_baseline is the
-speedup ratio against that estimate.
+Baseline: a PyTorch A100 estimate for the same pipeline — the reference
+stores no throughput number anywhere (SURVEY §6: README has no benchmark
+table; AE FPS is printed per-run, never recorded), and no CUDA GPU exists
+in this environment to measure one. Derivation of the 32 frames/s
+estimate, step by step, so the ratio is auditable:
+
+  Protocol: scripts/DM/valid.py with config/DM/kth.yaml — batch 4
+  (valid_batch_size, kth.yaml:30), tc=10 cond + tp=20 pred frames at
+  64px, DDIM-10 (kth.yaml:97). Per batch the reference executes:
+  1. LFAE encode of 10 cond frames: a python loop over frames
+     (u22.py:423-470), region_predictor + bg_predictor + generator per
+     frame; ~10 x 8 ms  =~  0.08 s.
+  2. 10 DDIM steps x Unet3D forward (120M-param 3D UNet on
+     (3+256)ch x 30 x 32 x 32 inputs): ~120 ms each on A100-class
+     hardware (fp32, no torch.compile in the reference)  =~  1.2 s.
+  3. Pixel decode: a python loop of generator.forward_with_flow over all
+     30 frames (u22.py:486-502), each a full encoder+decoder pass at
+     64px: 30 x ~35 ms  =~  1.05 s.
+  4. Host<->device hops between device0 (LFAE) and device1 (UNet) per
+     stage (u22.py:343-345,481-484): ~0.15 s.
+  Total ~2.5 s per batch of 4 videos x 20 predicted frames = 80 frames
+  => ~32 frames/s. The per-stage times are estimates from standard
+  A100 throughput for these module sizes, not measurements; treat
+  vs_baseline as indicative, and the absolute frames/s as the real
+  result.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,7 +46,9 @@ import jax
 
 # Persistent compilation cache: XLA compiles of the full sampling program
 # are minutes-long on the tunneled TPU; cache them across runs in-repo.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_CACHE = os.environ.get(
+    "EXTDM_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "extdm_jax"))
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -77,6 +77,20 @@ def _window_major(shifted: bool, spatial: int) -> bool:
     return (not shifted) and spatial >= 32
 
 
+def _ablate() -> frozenset:
+    """TIMING-ONLY kernel ablations (EXTDM_STW_ABLATE, comma list) to
+    attribute in-kernel microseconds per phase on the real chip:
+      'softmax_max'  skip the row-max subtraction (numerically equivalent
+                     when scores stay < ~88; still exact softmax)
+      'softmax'      raw scores, no exp/normalize        (WRONG RESULTS)
+      'regroup'      identity window regroup             (WRONG RESULTS)
+      'rope'         skip rotary                          (WRONG RESULTS)
+      'attn'         skip score/att matmuls, use v        (WRONG RESULTS)
+    Never set outside scripts/ubench_layers.py A/Bs."""
+    v = os.environ.get("EXTDM_STW_ABLATE", "")
+    return frozenset(x for x in v.split(",") if x)
+
+
 def _attn_io_dtype_casts() -> bool:
     """Cast attention-matmul operands (q/k/v/probs) to the kernel IO dtype.
 
@@ -251,6 +265,7 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
     W8 = KT * nww  # windows per program
     hidden = heads * dim_head
     f32 = jnp.float32
+    ablate = _ablate()
 
     def kernel(x_ref, wqkv_ref, wproj_ref, bproj_ref,
                bias_ref, cos_ref, sin_ref, *rest):
@@ -266,8 +281,11 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
         # gamma is folded into wqkv_ref host-side (_fused_padded)
         h = (xb - mean) * jax.lax.rsqrt(var + eps)
         # --- regroup into windows: token order (t, h, w) per window ---
-        h = h.reshape(KT, wd, wh, nww, ww, C)
-        h = h.transpose(0, 3, 1, 2, 4, 5).reshape(W8 * N, C)
+        if "regroup" in ablate:
+            h = h.reshape(W8 * N, C)
+        else:
+            h = h.reshape(KT, wd, wh, nww, ww, C)
+            h = h.transpose(0, 3, 1, 2, 4, 5).reshape(W8 * N, C)
         # --- qkv ------------------------------------------------------
         qkv = jax.lax.dot_general(
             h.astype(x_ref.dtype), wqkv_ref[:],
@@ -278,7 +296,7 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
         k = qkv[:, hidden:2 * hidden].reshape(W8, N, hidden)
         v = qkv[:, 2 * hidden:].reshape(W8, N, hidden)
         # --- rotary (interleaved pairs, head-tiled tables) -------------
-        if rot:
+        if rot and "rope" not in ablate:
             cos = cos_ref[:].astype(f32)[None]  # (1, N, hidden) pre-tiled
             sin = sin_ref[:].astype(f32)[None]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, N, hidden), 2)
@@ -306,26 +324,32 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             q = q.astype(x_ref.dtype)
             k = k.astype(x_ref.dtype)
             v = v.astype(x_ref.dtype)
-        outs = []
-        for hd in range(heads):
-            sl = slice(hd * dim_head, (hd + 1) * dim_head)
-            s = jax.lax.dot_general(
-                q[:, :, sl], k[:, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # (W8, N, N)
-            s = s + bias_ref[hd].astype(f32)[None]
-            if M:
-                s = s + mask_add
-            s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
-            e = jnp.exp(s)
-            s = e / e.sum(axis=-1, keepdims=True)
-            outs.append(jax.lax.dot_general(
-                s.astype(v.dtype), v[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))  # (W8, N, dim_head)
-        o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
+        if "attn" in ablate:
+            o = v.astype(f32).reshape(W8 * N, hidden)
+        else:
+            outs = []
+            for hd in range(heads):
+                sl = slice(hd * dim_head, (hd + 1) * dim_head)
+                s = jax.lax.dot_general(
+                    q[:, :, sl], k[:, :, sl],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, N, N)
+                s = s + bias_ref[hd].astype(f32)[None]
+                if M:
+                    s = s + mask_add
+                if "softmax" not in ablate:
+                    if "softmax_max" not in ablate:
+                        s = s - jax.lax.stop_gradient(
+                            s.max(axis=-1, keepdims=True))
+                    e = jnp.exp(s)
+                    s = e / e.sum(axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    s.astype(v.dtype), v[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))  # (W8, N, dim_head)
+            o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
         # --- output projection + residual -------------------------------
         o = jax.lax.dot_general(
             o.astype(x_ref.dtype), wproj_ref[:],
@@ -1106,6 +1130,7 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
     hidden = heads * dim_head
     R = G * T
     f32 = jnp.float32
+    ablate = _ablate()
 
     def kernel(x_ref, gcln_ref, wqkv_ref, bqkv_ref, wproj_ref,
                bias_ref, cos_ref, sin_ref, o_ref):
@@ -1120,7 +1145,10 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         var = ((xb - mean) ** 2).mean(-1, keepdims=True)
         a = (xb - mean) * jax.lax.rsqrt(var + eps) * gcln_ref[0].astype(f32)
         # (T, HR, Wd, C) -> (P, T, C): sequences along T per spatial position
-        h = a.transpose(1, 2, 0, 3).reshape(P, T, C)
+        if "regroup" in ablate:
+            h = a.reshape(P, T, C)
+        else:
+            h = a.transpose(1, 2, 0, 3).reshape(P, T, C)
         mean2 = h.mean(-1, keepdims=True)
         var2 = ((h - mean2) ** 2).mean(-1, keepdims=True)
         hn = (h - mean2) * jax.lax.rsqrt(var2 + eps)
@@ -1152,24 +1180,30 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
             q = q.astype(x_ref.dtype)
             k = k.astype(x_ref.dtype)
             v = v.astype(x_ref.dtype)
-        outs = []
-        for hd in range(heads):
-            sl = slice(hd * dim_head, (hd + 1) * dim_head)
-            s = jax.lax.dot_general(
-                q[:, :, sl], k[:, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # (P/G, R, R) or (P, T, T)
-            s = s + bias_ref[hd].astype(f32)[None]
-            s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
-            e = jnp.exp(s)
-            s = e / e.sum(axis=-1, keepdims=True)
-            outs.append(jax.lax.dot_general(
-                s.astype(v.dtype), v[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
-        o = jnp.concatenate(outs, axis=-1)
+        if "attn" in ablate:
+            o = v.astype(f32)
+        else:
+            outs = []
+            for hd in range(heads):
+                sl = slice(hd * dim_head, (hd + 1) * dim_head)
+                s = jax.lax.dot_general(
+                    q[:, :, sl], k[:, :, sl],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (P/G, R, R) or (P, T, T)
+                s = s + bias_ref[hd].astype(f32)[None]
+                if "softmax" not in ablate:
+                    if "softmax_max" not in ablate:
+                        s = s - jax.lax.stop_gradient(
+                            s.max(axis=-1, keepdims=True))
+                    e = jnp.exp(s)
+                    s = e / e.sum(axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    s.astype(v.dtype), v[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+            o = jnp.concatenate(outs, axis=-1)
         o = o.reshape(P * T, hidden)
         o = jax.lax.dot_general(
             o.astype(x_ref.dtype), wproj_ref[:],
@@ -1342,6 +1376,15 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
     hidden = heads * dim_head
     R = G * T
     f32 = jnp.float32
+    # per-head dWproj accumulation stores to a sublane-dim slice of the
+    # output ref (dwproj_ref[sl, :] +=), which requires the slice offset to
+    # be sublane-tile aligned (8 rows for f32). Make the assumption loud
+    # instead of failing inside Mosaic lowering on odd configs.
+    if dim_head % 8 != 0:
+        raise ValueError(
+            f"temporal backward kernel requires dim_head % 8 == 0 "
+            f"(sublane-aligned per-head dWproj slices); got {dim_head}. "
+            f"Set EXTDM_PALLAS_BWD=0 to use the XLA-recompute backward.")
 
     def kernel(x_ref, g_ref, gcln_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
                bias_ref, cos_ref, sin_ref,
