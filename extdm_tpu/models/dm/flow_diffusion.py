@@ -565,10 +565,17 @@ class FlowDiffusion:
         it lets one sample's UNet state exceed a single chip's HBM
         (128px+ configs, long pred windows).
 
-        The fused pallas layers are trace-gated off in this path — a
-        pallas_call is a single-device program GSPMD cannot partition —
-        so spatial parallelism trades kernel fusion for memory capacity;
-        use `make_sharded_sampler` when pure batch parallelism fits.
+        Kernel fusion is KEPT for the attention layers: on TPU the fused
+        STW/temporal pallas layers run as shard_map islands inside the
+        GSPMD program (`pallas_stw.spatial_shard_scope`) — each shard
+        launches its own kernel on its local H slab, with the shifted-
+        window H-roll implemented as a ppermute halo exchange and the
+        Swin masks pre-sharded over the H-window axis (all_gather
+        fallback for shard-unaligned shapes). Only the resnet GN+SiLU
+        fusion falls back to the XLA path (GSPMD inserts the conv halos
+        and GroupNorm all-reduces there). EXTDM_SPATIAL_FUSED=0 restores
+        the round-1 all-XLA behavior. Use `make_sharded_sampler` when
+        pure batch parallelism fits.
         LFAE encode/decode stay batch-parallel via shard_map (per-frame
         2D convs; the pallas warp kernel runs per-shard unchanged).
 
@@ -599,10 +606,15 @@ class FlowDiffusion:
 
         @jax.jit
         def ddim(uv, key, x_cond, fea):
-            # the `with` body runs at trace time, so the scopes gate the
-            # whole jitted program onto the XLA module path
-            with pallas_stw.inference_only_scope(), \
-                    pallas_resnet.inference_only_scope():
+            # the `with` body runs at trace time: attention layers keep
+            # their fused kernels as shard_map islands (TPU), everything
+            # else takes the XLA module path that GSPMD partitions.
+            if pallas_stw.enabled():
+                stw_cm = pallas_stw.spatial_shard_scope(
+                    mesh, data_axis=data_axis, spatial_axis=spatial_axis)
+            else:
+                stw_cm = pallas_stw.inference_only_scope()
+            with stw_cm, pallas_resnet.inference_only_scope():
                 x_cond = cons(x_cond)
                 fea = cons(fea)
                 cache = self.cond_cache(uv, x_cond, fea)

@@ -176,7 +176,7 @@ class PreNormSTW(nn.Module):
 
         stw = STWAttentionLayer(self.window_size, self.shift_size, self.heads,
                                 self.dim_head, dtype=self.dtype, name="fn")
-        if pallas_stw.enabled():
+        if pallas_stw.enabled() or pallas_stw.spatial_scope_active():
             # fused whole-layer pallas path: LN + attention + residual in
             # one activation pass; the LN child only contributes its scale.
             ln = ChanLayerNorm(name="norm")
@@ -198,7 +198,7 @@ class PreNormTemporalAttn(nn.Module):
         from extdm_tpu.ops import pallas_stw
 
         B, T, H, W, C = x.shape
-        if pallas_stw.enabled():
+        if pallas_stw.enabled() or pallas_stw.spatial_scope_active():
             # fused whole-layer pallas path: both norms, the (h w)<->T
             # transposes, attention and both residuals in one pass.
             ln = ChanLayerNorm(name="norm")

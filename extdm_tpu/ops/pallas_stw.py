@@ -381,15 +381,18 @@ def _ensure_pallas():
 
 def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
                   masks, mask_ids, *, window, heads, dim_head, rot, eps,
-                  interpret):
-    """Kernel launch on the padded+rolled tensor x: (B, Tp, Hp, Wp, C)."""
+                  interpret, masks_exp=None):
+    """Kernel launch on the padded+rolled tensor x: (B, Tp, Hp, Wp, C).
+
+    masks_exp: optional pre-expanded (n_tw, n_hw, n_ww, N, N) mask block
+    (the H-sharded spatial path passes each shard's slice directly)."""
     _ensure_pallas()
     B, Tp, Hp, Wp, C = x.shape
     wd, wh, ww = window
     N = wd * wh * ww
     n_tw, n_hw, n_ww = Tp // wd, Hp // wh, Wp // ww
     KT = _pick_kt(n_tw, wh, wd, Wp, C, hidden=heads * dim_head)
-    M = 0 if masks is None else masks.shape[0]
+    M = 1 if masks_exp is not None else (0 if masks is None else masks.shape[0])
 
     x_spec = pl.BlockSpec((1, KT * wd, wh, Wp, C),
                           lambda b, it, ih: (b, it, ih, 0, 0))
@@ -416,7 +419,8 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
     ]
     if M:
         in_specs.append(_mask_spec(pl, KT, n_ww, N))
-        inputs.append(_expand_masks(masks, mask_ids, n_tw, n_hw, n_ww, N))
+        inputs.append(masks_exp if masks_exp is not None else
+                      _expand_masks(masks, mask_ids, n_tw, n_hw, n_ww, N))
 
     grid_spec = pl.GridSpec(
         grid=(B, n_tw // KT, n_hw),
@@ -922,7 +926,8 @@ def _stw_bwd_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
 
 
 def _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
-                window, shift, heads, dim_head, rotary, eps, interpret):
+                window, shift, heads, dim_head, rotary, eps, interpret,
+                masks_exp=None):
     B, T, H, W, C = x.shape
     wd, wh, ww = window
     N = wd * wh * ww
@@ -946,7 +951,7 @@ def _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
     shifted = any(s > 0 for s in shift)
     if shifted:
         xp = jnp.roll(xp, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-    if _window_major(shifted, min(xp.shape[2], xp.shape[3])):
+    if masks_exp is None and _window_major(shifted, min(xp.shape[2], xp.shape[3])):
         Bp, Tp2, Hp2, Wp2, _ = xp.shape
         n_tw, n_hw, n_ww = Tp2 // wd, Hp2 // window[1], Wp2 // window[2]
         masks_exp = None
@@ -965,7 +970,7 @@ def _layer_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
             xp, gamma, w_qkv, w_proj, b_proj, bias_hnn,
             jnp.asarray(cos_np, x.dtype), jnp.asarray(sin_np, x.dtype),
             masks, mask_ids, window=window, heads=heads, dim_head=dim_head,
-            rot=rot, eps=eps, interpret=interpret,
+            rot=rot, eps=eps, interpret=interpret, masks_exp=masks_exp,
         )
     if shifted:
         out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
@@ -1043,6 +1048,11 @@ def fused_stw_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, *, window,
         mask_ids = jnp.asarray(ids.astype(np.int32))
     else:
         masks, mask_ids = None, None
+    if spatial_scope_active():
+        return _spatial_stw_layer(
+            x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
+            window=tuple(window), shift=tuple(shift), heads=heads,
+            dim_head=dim_head, rotary=rotary, eps=eps)
     return _fused_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
                         mask_ids, tuple(window), tuple(shift), heads,
                         dim_head, rotary, eps, interpret)
@@ -1706,5 +1716,184 @@ def fused_temporal_layer(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
     for 4-D THW biases (mean over the last two axes, broadcast over keys,
     matching TemporalAttention's handling).
     """
+    if spatial_scope_active():
+        return _spatial_temporal_layer(
+            x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
+            heads=heads, dim_head=dim_head, rotary=rotary, eps=eps)
     return _fused_temporal(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
                            bias_hnn, heads, dim_head, rotary, eps, interpret)
+
+
+# ===================================================================
+# Spatially-partitioned (H-sharded) fused layers: shard_map + halo
+# ===================================================================
+_SPATIAL_SCOPE = None
+
+
+@contextlib.contextmanager
+def spatial_shard_scope(mesh, data_axis="data", spatial_axis="model", *,
+                        interpret=False, force=False):
+    """Trace-time gate: fused STW/temporal layers traced inside this scope
+    run as shard_map programs over `mesh` — batch on `data_axis`, the
+    activation H axis on `spatial_axis` — so the spatial (sequence-
+    parallel) sampler keeps kernel fusion instead of falling back to the
+    XLA module path (a pallas_call is a single-device program GSPMD
+    cannot partition, but under shard_map each shard launches its own).
+
+    Cross-shard coupling is handled manually:
+      - plain windows, shard-aligned (H_local % window_h == 0): fully
+        local — window attention never crosses an H boundary;
+      - shifted windows, shard-aligned: the global jnp.roll along H
+        becomes a `shift_h`-row halo exchange (ppermute) before and after
+        the local kernel; the Swin masks are expanded globally (trace-
+        time constants) and passed as a shard_map operand sharded over
+        the H-window axis, so every shard applies exactly its windows'
+        masks;
+      - any non-aligned shape: all_gather(H) -> full local kernel ->
+        slice (correct for every shape; costs one gathered activation).
+
+    INFERENCE ONLY: weight gradients under shard_map would need psum;
+    only samplers set this scope. `force=True` activates the gate even
+    where `enabled()` is False (CPU tests use it with interpret=True).
+    """
+    global _SPATIAL_SCOPE
+    prev = _SPATIAL_SCOPE
+    _SPATIAL_SCOPE = dict(mesh=mesh, data=data_axis, sp=spatial_axis,
+                          interpret=interpret, force=force)
+    try:
+        yield
+    finally:
+        _SPATIAL_SCOPE = prev
+
+
+def spatial_scope_active() -> bool:
+    if _SPATIAL_SCOPE is None:
+        return False
+    if os.environ.get("EXTDM_SPATIAL_FUSED", "1") != "1":
+        return False
+    return bool(_SPATIAL_SCOPE["force"]) or enabled()
+
+
+def _spatial_specs(mesh, data_axis, B, n_extra_dims):
+    """(x_spec, rep) PartitionSpecs for a (B, T, H, W, C) activation."""
+    from jax.sharding import PartitionSpec as P
+
+    sc = _SPATIAL_SCOPE
+    n_data = mesh.shape.get(data_axis, 1)
+    batch = data_axis if (n_data > 1 and B % n_data == 0) else None
+    x_spec = P(batch, None, sc["sp"], *([None] * n_extra_dims))
+    return x_spec, P()
+
+
+def _spatial_stw_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks,
+                       mask_ids, *, window, shift, heads, dim_head, rotary,
+                       eps):
+    """H-sharded fused STW layer. See spatial_shard_scope for the halo
+    protocol. x: GLOBAL (B, T, H, W, C) traced under jit/GSPMD."""
+    sc = _SPATIAL_SCOPE
+    mesh, sp_axis, data_axis = sc["mesh"], sc["sp"], sc["data"]
+    interpret = sc["interpret"]
+    n_sp = mesh.shape.get(sp_axis, 1)
+    B, T, H, W, C = x.shape
+    wd, wh, ww = window
+    if n_sp == 1 or H % n_sp != 0:
+        # H not evenly shardable -> plain single-program kernel; GSPMD
+        # replicates around it exactly as the non-spatial sampler does.
+        return _fused_layer(x, gamma, w_qkv, w_proj, b_proj, bias_hnn,
+                            masks, mask_ids, tuple(window), tuple(shift),
+                            heads, dim_head, rotary, eps, interpret)
+    HL = H // n_sp
+    pad_h = (wh - H % wh) % wh
+    aligned = (HL % wh == 0) and pad_h == 0
+    x_spec, rep = _spatial_specs(mesh, data_axis, B, 2)
+    perm_up = [(i, (i - 1) % n_sp) for i in range(n_sp)]    # send to prev
+    perm_down = [(i, (i + 1) % n_sp) for i in range(n_sp)]  # send to next
+
+    if not aligned:
+        def gather_body(x_l, gamma, w_qkv, w_proj, b_proj, bias_hnn):
+            xg = jax.lax.all_gather(x_l, sp_axis, axis=2, tiled=True)
+            out = _fused_layer(xg, gamma, w_qkv, w_proj, b_proj, bias_hnn,
+                               masks, mask_ids, tuple(window), tuple(shift),
+                               heads, dim_head, rotary, eps, interpret)
+            i = jax.lax.axis_index(sp_axis)
+            return jax.lax.dynamic_slice_in_dim(out, i * HL, HL, axis=2)
+
+        fn = jax.shard_map(
+            gather_body, mesh=mesh,
+            in_specs=(x_spec, rep, rep, rep, rep, rep), out_specs=x_spec,
+            check_vma=False)
+        return fn(x, gamma, w_qkv, w_proj, b_proj, bias_hnn)
+
+    sh = shift[1]
+    shifted = any(s > 0 for s in shift)
+    masks_exp_sharded = None
+    if shifted:
+        # expand the global masks once (trace-time constants, hoisted out
+        # of the DDIM scan) and shard them over the H-window axis so each
+        # shard reads exactly its windows' mask blocks.
+        n_tw = -(-T // wd)
+        n_hw = H // wh
+        n_ww = (-(-W // ww) * ww) // ww
+        N = wd * wh * ww
+        masks_exp_sharded = _expand_masks(masks, mask_ids,
+                                          n_tw, n_hw, n_ww, N)
+
+    def body(x_l, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks_l):
+        # ---- global roll by -shift along H == halo exchange -------------
+        if sh:
+            head_rows = x_l[:, :, :sh]
+            recv = jax.lax.ppermute(head_rows, sp_axis, perm_up)
+            x_r = jnp.concatenate([x_l[:, :, sh:], recv], axis=2)
+        else:
+            x_r = x_l
+        # local kernel: T/W pad+roll handled inside (_layer_impl), the H
+        # roll is already materialized, per-shard masks supplied.
+        out = _layer_impl(x_r, gamma, w_qkv, w_proj, b_proj, bias_hnn,
+                          None, None, tuple(window),
+                          (shift[0], 0, shift[2]), heads, dim_head, rotary,
+                          eps, interpret,
+                          masks_exp=masks_l if shifted else None)
+        # ---- roll back (+shift along H) ---------------------------------
+        if sh:
+            tail_rows = out[:, :, HL - sh:]
+            recv = jax.lax.ppermute(tail_rows, sp_axis, perm_down)
+            out = jnp.concatenate([recv, out[:, :, :HL - sh]], axis=2)
+        return out
+
+    from jax.sharding import PartitionSpec as P
+
+    mask_spec = P(None, sp_axis, None, None, None) if shifted else P()
+    if masks_exp_sharded is None:
+        masks_exp_sharded = jnp.zeros((), x.dtype)  # unused placeholder
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(x_spec, rep, rep, rep, rep, rep, mask_spec),
+        out_specs=x_spec, check_vma=False)
+    return fn(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks_exp_sharded)
+
+
+def _spatial_temporal_layer(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
+                            bias_hnn, *, heads, dim_head, rotary, eps):
+    """H-sharded fused temporal layer: attention runs along T per (h, w)
+    position, so under H sharding every shard is fully local."""
+    sc = _SPATIAL_SCOPE
+    mesh, sp_axis, data_axis = sc["mesh"], sc["sp"], sc["data"]
+    interpret = sc["interpret"]
+    n_sp = mesh.shape.get(sp_axis, 1)
+    B, T, H, W, C = x.shape
+    if n_sp == 1 or H % n_sp != 0:
+        return _fused_temporal(x, gamma_cln, ln_scale, ln_bias, w_qkv,
+                               w_proj, bias_hnn, heads, dim_head, rotary,
+                               eps, interpret)
+    x_spec, rep = _spatial_specs(mesh, data_axis, B, 2)
+
+    def body(x_l, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn):
+        return _fused_temporal(x_l, gamma_cln, ln_scale, ln_bias, w_qkv,
+                               w_proj, bias_hnn, heads, dim_head, rotary,
+                               eps, interpret)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(x_spec, rep, rep, rep, rep, rep, rep),
+        out_specs=x_spec, check_vma=False)
+    return fn(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn)
