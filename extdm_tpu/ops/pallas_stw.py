@@ -101,6 +101,60 @@ def _attn_io_dtype_casts() -> bool:
     return os.environ.get("EXTDM_ATTN_BF16", "1") == "1"
 
 
+def _headpack_ok(heads: int, dim_head: int) -> bool:
+    """Pairwise head packing for the in-kernel attention matmuls.
+
+    The per-head score/att matmuls are (N, dh)x(dh, N) with N=64, dh=32
+    at the flagship config — MXU passes that stream only 64 rows against
+    a quarter-depth, half-width weight tile (~12.5% utilization; the
+    measured ~16x-off-compute-SOL of round 1). Packing head pairs as
+
+        scores: (N, 2dh) @ block_diag(k_h1, k_h2): (2dh, 2N) -> (N, 2N)
+        att:    (N, 2N) @ block_diag(v_h1, v_h2): (2N, 2dh) -> (N, 2dh)
+
+    halves the number of MXU passes: the q lane-slice widens for free
+    (contiguous), the (N, 2dh) output IS the contiguous output layout,
+    and only k/v need a masked block-diagonal build (2 VPU selects + a
+    sublane concat each). Softmax normalizes per lane-half. 2x the
+    nominal FLOPs of the per-head form, but each pass streams the same
+    rows against a full-width tile. EXTDM_STW_HEADPACK=0 for A/B."""
+    if os.environ.get("EXTDM_STW_HEADPACK", "1") != "1":
+        return False
+    return heads % 2 == 0 and dim_head <= 64
+
+
+def _block_diag2(a, dh: int):
+    """(B, N, 2*dh) head-pair slab -> (B, 2N, 2*dh) block-diagonal: rows
+    0..N-1 keep lanes < dh (head 1), rows N.. keep lanes >= dh (head 2),
+    zeros elsewhere."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    zero = jnp.zeros((), a.dtype)
+    return jnp.concatenate([jnp.where(lane < dh, a, zero),
+                            jnp.where(lane >= dh, a, zero)], axis=a.ndim - 2)
+
+
+def _softmax_lane_halves(s, n: int, ablate):
+    """Softmax over each lane-half of s (..., 2n) independently: the
+    packed score layout holds two heads' rows side by side."""
+    half = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) < n
+    if "softmax" in ablate:
+        return s
+    if "softmax_max" not in ablate:
+        m1 = jnp.max(jnp.where(half, s, -1e30), axis=-1, keepdims=True)
+        m2 = jnp.max(jnp.where(half, -1e30, s), axis=-1, keepdims=True)
+        s = s - jax.lax.stop_gradient(jnp.where(half, m1, m2))
+    e = jnp.exp(s)
+    d1 = jnp.sum(jnp.where(half, e, 0.0), axis=-1, keepdims=True)
+    d2 = jnp.sum(jnp.where(half, 0.0, e), axis=-1, keepdims=True)
+    return e / jnp.where(half, d1, d2)
+
+
+def _pack_bias_pairs(bias_hnn):
+    """(heads, N, N) -> (heads//2, N, 2N): lane-concat each head pair's
+    bias to match the packed score layout (host-side, hoisted)."""
+    return jnp.concatenate([bias_hnn[0::2], bias_hnn[1::2]], axis=-1)
+
+
 import contextlib
 
 
@@ -266,6 +320,7 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
     hidden = heads * dim_head
     f32 = jnp.float32
     ablate = _ablate()
+    pack2 = _headpack_ok(heads, dim_head)
 
     def kernel(x_ref, wqkv_ref, wproj_ref, bproj_ref,
                bias_ref, cos_ref, sin_ref, *rest):
@@ -326,6 +381,33 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             v = v.astype(x_ref.dtype)
         if "attn" in ablate:
             o = v.astype(f32).reshape(W8 * N, hidden)
+        elif pack2:
+            # pairwise head packing (see _headpack_ok): scores for heads
+            # (2p, 2p+1) come out of ONE (N, 2dh)x(2dh, 2N) pass, att out
+            # of ONE (N, 2N)x(2N, 2dh) pass whose result is already the
+            # contiguous output lane block.
+            if M:
+                mask2 = jnp.concatenate([mask_add, mask_add], axis=-1)
+            outs = []
+            for p2 in range(heads // 2):
+                sl2 = slice(2 * p2 * dim_head, (2 * p2 + 2) * dim_head)
+                k_bd = _block_diag2(k[:, :, sl2], dim_head)
+                s = jax.lax.dot_general(
+                    q[:, :, sl2], k_bd,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, N, 2N)
+                s = s + bias_ref[p2].astype(f32)[None]
+                if M:
+                    s = s + mask2
+                s = _softmax_lane_halves(s, N, ablate)
+                v_bd = _block_diag2(v[:, :, sl2], dim_head)
+                outs.append(jax.lax.dot_general(
+                    s.astype(v.dtype), v_bd,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))  # (W8, N, 2*dim_head)
+            o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
         else:
             outs = []
             for hd in range(heads):
@@ -400,12 +482,15 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
                                        lambda b, it, ih: tuple(0 for _ in shape))
     hidden = heads * dim_head
 
+    pack2 = _headpack_ok(heads, dim_head)
+    bias_spec = (heads // 2, N, 2 * N) if pack2 else (heads, N, N)
+    bias_in = (_pack_bias_pairs(bias_hnn) if pack2 else bias_hnn)
     in_specs = [
         x_spec,
         const((C, 3 * hidden)),     # w_qkv (gamma folded in)
         const((hidden, C)),         # w_proj
         const((1, C)),              # b_proj
-        const((heads, N, N)),       # bias
+        const(bias_spec),           # bias (pair-packed when pack2)
         const((N, hidden)),         # cos (head-tiled)
         const((N, hidden)),         # sin (head-tiled)
     ]
@@ -415,7 +500,7 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
          * w_qkv.astype(jnp.float32)).astype(x.dtype),
         w_proj.astype(x.dtype),
         b_proj.reshape(1, C).astype(jnp.float32),
-        bias_hnn.astype(jnp.float32), cos, sin,
+        bias_in.astype(jnp.float32), cos, sin,
     ]
     if M:
         in_specs.append(_mask_spec(pl, KT, n_ww, N))
