@@ -719,6 +719,7 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
     W8 = KT * nww
     hidden = heads * dim_head
     f32 = jnp.float32
+    pack2 = _headpack_ok(heads, dim_head)
 
     def kernel(x_ref, g_ref, gamma_ref, wqkv_ref, wproj_ref,
                bias_ref, cos_ref, sin_ref, *rest):
@@ -789,35 +790,6 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
         if M:
             mask_add = mask_ref[:].reshape(W8, N, N)  # pre-expanded block
 
-        ps = []
-        outs = []
-        for hd in range(heads):
-            sl = slice(hd * dim_head, (hd + 1) * dim_head)
-            s = jax.lax.dot_general(
-                q[:, :, sl], k[:, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )
-            s = s + bias_ref[hd].astype(f32)[None]
-            if M:
-                s = s + mask_add
-            s = s - s.max(axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            p = e / e.sum(axis=-1, keepdims=True)
-            ps.append(p)
-            outs.append(jax.lax.dot_general(
-                p, v[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
-        o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
-
-        # ---- backward: output projection ------------------------------
-        dwproj_ref[:] += jax.lax.dot_general(
-            o.astype(dtype), go.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(dwproj_ref.dtype)
         dbproj_ref[0] += go.sum(axis=0).astype(dbproj_ref.dtype)
         do = jax.lax.dot_general(
             go.astype(dtype), wproj_ref[:],
@@ -825,34 +797,130 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             preferred_element_type=f32,
         ).reshape(W8, N, hidden)
 
-        # ---- backward: attention per head ------------------------------
-        dqs, dks, dvs = [], [], []
-        for hd in range(heads):
-            sl = slice(hd * dim_head, (hd + 1) * dim_head)
-            p = ps[hd]
-            dO = do[:, :, sl]
-            dP = jax.lax.dot_general(
-                dO, v[:, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # (W8, N, N)
-            dvs.append(jax.lax.dot_general(
-                p, dO,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))  # (W8, N, dh)
-            dS = p * (dP - (dP * p).sum(axis=-1, keepdims=True))
-            dbias_ref[hd] += dS.sum(axis=0).astype(dbias_ref.dtype)
-            dqs.append(jax.lax.dot_general(
-                dS, k[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
-            dks.append(jax.lax.dot_general(
-                dS, q[:, :, sl],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
+        if pack2:
+            # merged recompute + backward per HEAD PAIR (see _headpack_ok):
+            # one live (W8, N, 2N) probability matrix instead of all
+            # heads', and every matmul streams against a full-width tile.
+            if M:
+                mask2 = jnp.concatenate([mask_add, mask_add], axis=-1)
+            half_m = None
+            outs, dqs, dks, dvs = [], [], [], []
+            for p2 in range(heads // 2):
+                sl2 = slice(2 * p2 * dim_head, (2 * p2 + 2) * dim_head)
+                k_bd = _block_diag2(k[:, :, sl2], dim_head)
+                v_bd = _block_diag2(v[:, :, sl2], dim_head)
+                s = jax.lax.dot_general(
+                    q[:, :, sl2], k_bd,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, N, 2N)
+                s = s + bias_ref[p2].astype(f32)[None]
+                if M:
+                    s = s + mask2
+                if half_m is None:
+                    half_m = jax.lax.broadcasted_iota(
+                        jnp.int32, s.shape, s.ndim - 1) < N
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (W8, N, 2 * dim_head), 2)
+                m1 = jnp.max(jnp.where(half_m, s, -1e30), -1, keepdims=True)
+                m2 = jnp.max(jnp.where(half_m, -1e30, s), -1, keepdims=True)
+                e = jnp.exp(s - jnp.where(half_m, m1, m2))
+                d1 = jnp.sum(jnp.where(half_m, e, 0.0), -1, keepdims=True)
+                d2 = jnp.sum(jnp.where(half_m, 0.0, e), -1, keepdims=True)
+                p = e / jnp.where(half_m, d1, d2)
+                outs.append(jax.lax.dot_general(
+                    p, v_bd,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))  # (W8, N, 2dh) — contiguous output lane block
+                dO = do[:, :, sl2]
+                dP = jax.lax.dot_general(
+                    dO, v_bd,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, N, 2N)
+                dv_bd = jax.lax.dot_general(
+                    p, dO,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, 2N, 2dh): diagonal blocks are the head grads
+                dvs.append(jnp.where(lane < dim_head,
+                                     dv_bd[:, :N], dv_bd[:, N:]))
+                pdp = dP * p
+                r1 = jnp.sum(jnp.where(half_m, pdp, 0.0), -1, keepdims=True)
+                r2 = jnp.sum(jnp.where(half_m, 0.0, pdp), -1, keepdims=True)
+                dS = p * (dP - jnp.where(half_m, r1, r2))
+                dbias_ref[p2] += dS.sum(axis=0).astype(dbias_ref.dtype)
+                dqs.append(jax.lax.dot_general(
+                    dS, k_bd,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))  # (W8, N, 2dh)
+                dk_bd = jax.lax.dot_general(
+                    dS, q[:, :, sl2],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, 2N, 2dh)
+                dks.append(jnp.where(lane < dim_head,
+                                     dk_bd[:, :N], dk_bd[:, N:]))
+        else:
+            ps = []
+            outs = []
+            for hd in range(heads):
+                sl = slice(hd * dim_head, (hd + 1) * dim_head)
+                s = jax.lax.dot_general(
+                    q[:, :, sl], k[:, :, sl],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+                s = s + bias_ref[hd].astype(f32)[None]
+                if M:
+                    s = s + mask_add
+                s = s - s.max(axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                p = e / e.sum(axis=-1, keepdims=True)
+                ps.append(p)
+                outs.append(jax.lax.dot_general(
+                    p, v[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+
+            dqs, dks, dvs = [], [], []
+            for hd in range(heads):
+                sl = slice(hd * dim_head, (hd + 1) * dim_head)
+                p = ps[hd]
+                dO = do[:, :, sl]
+                dP = jax.lax.dot_general(
+                    dO, v[:, :, sl],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (W8, N, N)
+                dvs.append(jax.lax.dot_general(
+                    p, dO,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))  # (W8, N, dh)
+                dS = p * (dP - (dP * p).sum(axis=-1, keepdims=True))
+                dbias_ref[hd] += dS.sum(axis=0).astype(dbias_ref.dtype)
+                dqs.append(jax.lax.dot_general(
+                    dS, k[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+                dks.append(jax.lax.dot_general(
+                    dS, q[:, :, sl],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+
+        # ---- backward: output projection ------------------------------
+        o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
+        dwproj_ref[:] += jax.lax.dot_general(
+            o.astype(dtype), go.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dwproj_ref.dtype)
         dq_r = jnp.concatenate(dqs, axis=-1)  # grads wrt roped q
         dk_r = jnp.concatenate(dks, axis=-1)
         dv = jnp.concatenate(dvs, axis=-1)
@@ -908,6 +976,9 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
                   hidden=heads * dim_head, mult=4)
     M = 0 if masks is None else masks.shape[0]
     hidden = heads * dim_head
+    pack2 = _headpack_ok(heads, dim_head)
+    bias_shape = (heads // 2, N, 2 * N) if pack2 else (heads, N, N)
+    bias_in = (_pack_bias_pairs(bias_hnn) if pack2 else bias_hnn)
 
     x_spec = pl.BlockSpec((1, KT * wd, wh, Wp, C),
                           lambda b, it, ih: (b, it, ih, 0, 0))
@@ -920,7 +991,7 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
         const((1, C)),              # gamma
         const((C, 3 * hidden)),     # w_qkv
         const((hidden, C)),         # w_proj
-        const((heads, N, N)),       # bias
+        const(bias_shape),          # bias (pair-packed when pack2)
         const((N, hidden)),         # cos
         const((N, hidden)),         # sin
     ]
@@ -936,7 +1007,7 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
             const((C, 3 * hidden)),     # dwqkv
             const((hidden, C)),         # dwproj
             const((1, C)),              # dbproj
-            const((heads, N, N)),       # dbias
+            const(bias_shape),          # dbias (packed form)
         ],
     )
     kernel = _make_stw_bwd_kernel(KT, wd, wh, ww, Wp, C, heads, dim_head,
@@ -948,14 +1019,14 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
         jax.ShapeDtypeStruct((C, 3 * hidden), f32),
         jax.ShapeDtypeStruct((hidden, C), f32),
         jax.ShapeDtypeStruct((1, C), f32),
-        jax.ShapeDtypeStruct((heads, N, N), f32),
+        jax.ShapeDtypeStruct(bias_shape, f32),
     ]
     inputs = [x, g, gamma.reshape(1, C).astype(jnp.float32),
               w_qkv.astype(x.dtype), w_proj.astype(x.dtype),
-              bias_hnn.astype(jnp.float32), cos, sin]
+              bias_in.astype(jnp.float32), cos, sin]
     if M:
         inputs.append(_expand_masks(masks, mask_ids, n_tw, n_hw, n_ww, N))
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -963,6 +1034,12 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(*inputs)
+    if pack2:
+        outs = list(outs)
+        dbias_p = outs[-1]  # (heads//2, N, 2N) -> interleave back
+        outs[-1] = jnp.stack([dbias_p[:, :, :N], dbias_p[:, :, N:]],
+                             axis=1).reshape(heads, N, N)
+    return outs
 
 
 def _stw_bwd_impl(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, masks, mask_ids,
@@ -1226,6 +1303,7 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
     R = G * T
     f32 = jnp.float32
     ablate = _ablate()
+    pack2 = _headpack_ok(heads, dim_head)
 
     def kernel(x_ref, gcln_ref, wqkv_ref, bqkv_ref, wproj_ref,
                bias_ref, cos_ref, sin_ref, o_ref):
@@ -1277,6 +1355,28 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
             v = v.astype(x_ref.dtype)
         if "attn" in ablate:
             o = v.astype(f32)
+        elif pack2:
+            # pairwise head packing (see _headpack_ok); NB = packed row
+            # count (R when G-packed else T), scores (NB, 2NB) per pair.
+            NB = q.shape[1]
+            outs = []
+            for p2 in range(heads // 2):
+                sl2 = slice(2 * p2 * dim_head, (2 * p2 + 2) * dim_head)
+                k_bd = _block_diag2(k[:, :, sl2], dim_head)
+                s = jax.lax.dot_general(
+                    q[:, :, sl2], k_bd,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (P/G, NB, 2NB)
+                s = s + bias_ref[p2].astype(f32)[None]
+                s = _softmax_lane_halves(s, NB, ablate)
+                v_bd = _block_diag2(v[:, :, sl2], dim_head)
+                outs.append(jax.lax.dot_general(
+                    s.astype(v.dtype), v_bd,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+            o = jnp.concatenate(outs, axis=-1)
         else:
             outs = []
             for hd in range(heads):
@@ -1408,6 +1508,9 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
         Tp = T
         bias_in = bias_hnn.astype(jnp.float32)
         NB = T
+    if _headpack_ok(heads, dim_head):
+        bias_in = _pack_bias_pairs(bias_in)
+    bias_shape = bias_in.shape
     xp = x if Tp == T else jnp.pad(
         x, ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0)))
     cos_np, sin_np = _rope_tables_tiled(Tp, heads, dim_head, rot)
@@ -1422,7 +1525,7 @@ def _temporal_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj, bias_hnn,
             const((C, n_aug)),        # augmented w_qkv (LN folded, +R blocks)
             const((1, n_aug)),        # augmented qkv bias (f32)
             const((hidden, C)),       # w_proj
-            const((heads, NB, NB)),   # bias (pre-tiled when packed)
+            const(bias_shape),        # bias (seq-packed / pair-packed)
             const((Tp, hidden)),      # cos
             const((Tp, hidden)),      # sin
         ],
@@ -1480,6 +1583,7 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
             f"temporal backward kernel requires dim_head % 8 == 0 "
             f"(sublane-aligned per-head dWproj slices); got {dim_head}. "
             f"Set EXTDM_PALLAS_BWD=0 to use the XLA-recompute backward.")
+    pack2 = _headpack_ok(heads, dim_head)
 
     def kernel(x_ref, g_ref, gcln_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
                bias_ref, cos_ref, sin_ref,
@@ -1582,44 +1686,109 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         # One softmax per head serves both the o_h recompute (for the
         # dwproj row-slice) and the attention backward.
         dqs, dks, dvs = [], [], []
-        for hd in range(heads):
-            sl = slice(hd * dim_head, (hd + 1) * dim_head)
-            p = softmax_h(hd)
-            # pack/unpack are pure reshapes, so (Pg, R, dh) flattens
-            # straight to (P*T, dh)
-            o_h = jax.lax.dot_general(
-                p, vp[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ).reshape(P * T, dim_head)
-            dwproj_ref[sl, :] += jax.lax.dot_general(
-                o_h.astype(dtype), ga_flat.astype(dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            ).astype(dwproj_ref.dtype)
-            dO = dop[:, :, sl]
-            dP = jax.lax.dot_general(
-                dO, vp[:, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )
-            dvs.append(jax.lax.dot_general(
-                p, dO,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
-            dS = p * (dP - (dP * p).sum(axis=-1, keepdims=True))
-            dbias_ref[hd] += dS.sum(axis=0).astype(dbias_ref.dtype)
-            dqs.append(jax.lax.dot_general(
-                dS, kp[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
-            dks.append(jax.lax.dot_general(
-                dS, qp[:, :, sl],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ))
+        if pack2:
+            NB = qp.shape[1]
+            half_m = lane_m = None
+            for p2 in range(heads // 2):
+                sl2 = slice(2 * p2 * dim_head, (2 * p2 + 2) * dim_head)
+                k_bd = _block_diag2(kp[:, :, sl2], dim_head)
+                v_bd = _block_diag2(vp[:, :, sl2], dim_head)
+                s = jax.lax.dot_general(
+                    qp[:, :, sl2], k_bd,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (Pg, NB, 2NB)
+                s = s + bias_ref[p2].astype(f32)[None]
+                if half_m is None:
+                    half_m = jax.lax.broadcasted_iota(
+                        jnp.int32, s.shape, s.ndim - 1) < NB
+                    lane_m = jax.lax.broadcasted_iota(
+                        jnp.int32, (s.shape[0], NB, 2 * dim_head), 2)
+                m1 = jnp.max(jnp.where(half_m, s, -1e30), -1, keepdims=True)
+                m2 = jnp.max(jnp.where(half_m, -1e30, s), -1, keepdims=True)
+                e = jnp.exp(s - jnp.where(half_m, m1, m2))
+                d1 = jnp.sum(jnp.where(half_m, e, 0.0), -1, keepdims=True)
+                d2 = jnp.sum(jnp.where(half_m, 0.0, e), -1, keepdims=True)
+                p = e / jnp.where(half_m, d1, d2)
+                o_h = jax.lax.dot_general(
+                    p, v_bd,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ).reshape(P * T, 2 * dim_head)
+                dwproj_ref[sl2, :] += jax.lax.dot_general(
+                    o_h.astype(dtype), ga_flat.astype(dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                ).astype(dwproj_ref.dtype)
+                dO = dop[:, :, sl2]
+                dP = jax.lax.dot_general(
+                    dO, v_bd,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (Pg, NB, 2NB)
+                dv_bd = jax.lax.dot_general(
+                    p, dO,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (Pg, 2NB, 2dh)
+                dvs.append(jnp.where(lane_m < dim_head,
+                                     dv_bd[:, :NB], dv_bd[:, NB:]))
+                pdp = dP * p
+                r1 = jnp.sum(jnp.where(half_m, pdp, 0.0), -1, keepdims=True)
+                r2 = jnp.sum(jnp.where(half_m, 0.0, pdp), -1, keepdims=True)
+                dS = p * (dP - jnp.where(half_m, r1, r2))
+                dbias_ref[p2] += dS.sum(axis=0).astype(dbias_ref.dtype)
+                dqs.append(jax.lax.dot_general(
+                    dS, k_bd,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+                dk_bd = jax.lax.dot_general(
+                    dS, qp[:, :, sl2],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+                dks.append(jnp.where(lane_m < dim_head,
+                                     dk_bd[:, :NB], dk_bd[:, NB:]))
+        else:
+            for hd in range(heads):
+                sl = slice(hd * dim_head, (hd + 1) * dim_head)
+                p = softmax_h(hd)
+                # pack/unpack are pure reshapes, so (Pg, R, dh) flattens
+                # straight to (P*T, dh)
+                o_h = jax.lax.dot_general(
+                    p, vp[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ).reshape(P * T, dim_head)
+                dwproj_ref[sl, :] += jax.lax.dot_general(
+                    o_h.astype(dtype), ga_flat.astype(dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                ).astype(dwproj_ref.dtype)
+                dO = dop[:, :, sl]
+                dP = jax.lax.dot_general(
+                    dO, vp[:, :, sl],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+                dvs.append(jax.lax.dot_general(
+                    p, dO,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+                dS = p * (dP - (dP * p).sum(axis=-1, keepdims=True))
+                dbias_ref[hd] += dS.sum(axis=0).astype(dbias_ref.dtype)
+                dqs.append(jax.lax.dot_general(
+                    dS, kp[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
+                dks.append(jax.lax.dot_general(
+                    dS, qp[:, :, sl],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                ))
         dq_r = unpack(jnp.concatenate(dqs, axis=-1))
         dk_r = unpack(jnp.concatenate(dks, axis=-1))
         dv = unpack(jnp.concatenate(dvs, axis=-1))
@@ -1685,6 +1854,10 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
         Tp = T
         bias_in = bias_hnn.astype(jnp.float32)
         NB = T
+    pack2 = _headpack_ok(heads, dim_head)
+    if pack2:
+        bias_in = _pack_bias_pairs(bias_in)
+    bias_shape = tuple(bias_in.shape)
     if Tp != T:
         pads = ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0))
         x = jnp.pad(x, pads)
@@ -1705,7 +1878,7 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
             const((1, C)),            # ln bias
             const((C, 3 * hidden)),   # w_qkv
             const((hidden, C)),       # w_proj
-            const((heads, NB, NB)),   # bias (packed form)
+            const(bias_shape),        # bias (seq/pair-packed)
             const((Tp, hidden)),      # cos
             const((Tp, hidden)),      # sin
         ],
@@ -1716,7 +1889,7 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
             const((1, C)),            # dln_bias
             const((C, 3 * hidden)),   # dwqkv
             const((hidden, C)),       # dwproj
-            const((heads, NB, NB)),   # dbias (packed form)
+            const(bias_shape),        # dbias (same packing)
         ],
     )
     kernel = _make_temporal_bwd_kernel(Tp, HR, WR, C, heads, dim_head, rot,
@@ -1729,7 +1902,7 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
         jax.ShapeDtypeStruct((1, C), f32),
         jax.ShapeDtypeStruct((C, 3 * hidden), f32),
         jax.ShapeDtypeStruct((hidden, C), f32),
-        jax.ShapeDtypeStruct((heads, NB, NB), f32),
+        jax.ShapeDtypeStruct(bias_shape, f32),
     ]
     outs = pl.pallas_call(
         kernel,
@@ -1747,6 +1920,9 @@ def _temporal_bwd_impl(x, gamma_cln, ln_scale, ln_bias, w_qkv, w_proj,
     if Tp != T:
         dx = dx[:, :T]
 
+    if pack2:  # (heads//2, NB, 2NB) -> interleave head pairs back
+        dbias_p = jnp.stack([dbias_p[:, :, :NB], dbias_p[:, :, NB:]],
+                            axis=1).reshape(heads, NB, NB)
     if G > 1:
         db = dbias_p.reshape(heads, G, Tp, G, Tp)
         dbias = sum(db[:, gi, :T, gi, :T] for gi in range(G))

@@ -413,3 +413,87 @@ def test_fused_small_window_matches_reference(shift):
         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+class TestHeadPackAB:
+    """Pairwise head packing (EXTDM_STW_HEADPACK) vs the per-head loops:
+    forward bit-parity and backward grad parity, STW + temporal kernels.
+    The packed matmuls compute identical sums (block-diagonal zeros kill
+    the cross-head terms), so tolerances are tight."""
+
+    def _stw_args(self):
+        window, shift = (2, 4, 4), (1, 2, 2)
+        heads, dim_head = 4, 8
+        p = make_params(jax.random.PRNGKey(6), 16, heads, dim_head, window)
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 8, 8, 16),
+                              jnp.float32)
+        N = window[0] * window[1] * window[2]
+        bias = bias_from_table(p["table"], window, N, heads)
+        kw = dict(window=window, shift=shift, heads=heads,
+                  dim_head=dim_head, rotary=True, interpret=True)
+        return x, (p["gamma"], p["w_qkv"], p["w_proj"], p["b_proj"], bias), kw
+
+    def test_stw_forward(self, monkeypatch):
+        x, params, kw = self._stw_args()
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "0")
+        ref = pallas_stw.fused_stw_layer(x, *params, **kw)
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "1")
+        out = pallas_stw.fused_stw_layer(x, *params, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_stw_backward(self, monkeypatch):
+        x, params, kw = self._stw_args()
+
+        def loss(x, *params):
+            return jnp.sum(pallas_stw.fused_stw_layer(x, *params, **kw) ** 2)
+
+        g = jax.grad(loss, argnums=tuple(range(6)))
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "0")
+        ref = g(x, *params)
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "1")
+        out = g(x, *params)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
+
+    def _temporal_args(self):
+        heads, dim_head = 4, 8
+        hidden = heads * dim_head
+        ks = jax.random.split(jax.random.PRNGKey(8), 7)
+        B, T, H, W, C = 2, 5, 8, 8, 16
+        x = jax.random.normal(ks[0], (B, T, H, W, C), jnp.float32)
+        params = (jax.random.normal(ks[1], (C,)) * 0.1 + 1.0,
+                  jax.random.normal(ks[2], (C,)) * 0.1 + 1.0,
+                  jax.random.normal(ks[3], (C,)) * 0.05,
+                  jax.random.normal(ks[4], (C, 3 * hidden)) * 0.05,
+                  jax.random.normal(ks[5], (hidden, C)) * 0.05,
+                  jax.random.normal(ks[6], (heads, T, T)) * 0.05)
+        kw = dict(heads=heads, dim_head=dim_head, rotary=True,
+                  interpret=True)
+        return x, params, kw
+
+    def test_temporal_forward(self, monkeypatch):
+        x, params, kw = self._temporal_args()
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "0")
+        ref = pallas_stw.fused_temporal_layer(x, *params, **kw)
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "1")
+        out = pallas_stw.fused_temporal_layer(x, *params, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_temporal_backward(self, monkeypatch):
+        x, params, kw = self._temporal_args()
+
+        def loss(x, *params):
+            return jnp.sum(
+                pallas_stw.fused_temporal_layer(x, *params, **kw) ** 2)
+
+        g = jax.grad(loss, argnums=tuple(range(7)))
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "0")
+        ref = g(x, *params)
+        monkeypatch.setenv("EXTDM_STW_HEADPACK", "1")
+        out = g(x, *params)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
