@@ -72,7 +72,18 @@ def compute_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def frechet_distance(feats_fake: np.ndarray, feats_real: np.ndarray) -> float:
-    """stylegan-v protocol (ref fvd.py:276-291)."""
+    """stylegan-v protocol (ref fvd.py:276-291).
+
+    Non-finite features short-circuit to nan: LAPACK's Schur
+    decomposition (inside scipy sqrtm) can spin forever on NaN input —
+    observed wedging a training run's periodic validation for 40+
+    minutes. A loud nan beats a silent hang."""
+    if not (np.isfinite(feats_fake).all() and np.isfinite(feats_real).all()):
+        import warnings
+
+        warnings.warn("frechet_distance: non-finite I3D features; "
+                      "returning nan (sqrtm on NaN matrices can hang)")
+        return float("nan")
     mu_gen, sigma_gen = compute_stats(feats_fake)
     mu_real, sigma_real = compute_stats(feats_real)
     m = float(np.square(mu_gen - mu_real).sum())

@@ -117,8 +117,21 @@ class InceptionI3d(nn.Module):
         x = InceptionModule(INCEPTION_CHANNELS["Mixed_5b"], self.dtype, bn_eps=self.bn_eps, name="Mixed_5b")(x)
         x = InceptionModule(INCEPTION_CHANNELS["Mixed_5c"], self.dtype, bn_eps=self.bn_eps, name="Mixed_5c")(x)
 
-        # avg-pool (2, 7, 7) valid, then 1x1 logits conv, then temporal mean
-        x = nn.avg_pool(x, (2, 7, 7), strides=(1, 1, 1), padding="VALID")
+        # avg-pool (2, 7, 7) valid, then 1x1 logits conv, then temporal mean.
+        # Short clips can reach this point with T'=1 (e.g. 8 input frames:
+        # 8 -> 4 -> 2 -> 1 through the temporal strides); a hard kernel of
+        # 2 would then produce a ZERO-size output whose temporal mean is
+        # silently NaN — poisoning FVD and (via NaN covariance matrices)
+        # wedging scipy sqrtm inside LAPACK. Clamp the temporal kernel to
+        # the frames available (identical to the TorchScript backbone for
+        # T' >= 2) and refuse degenerate spatial maps loudly.
+        if x.shape[2] < 7 or x.shape[3] < 7:
+            raise ValueError(
+                f"I3D spatial map {x.shape[2]}x{x.shape[3]} < 7x7 before "
+                f"the final avg_pool — input frames were not preprocessed "
+                f"to 224x224")
+        x = nn.avg_pool(x, (min(2, x.shape[1]), 7, 7), strides=(1, 1, 1),
+                        padding="VALID")
         x = Unit3D(self.num_classes, (1, 1, 1), use_bn=False, activation=False,
                    use_bias=True, dtype=self.dtype, name="logits")(x)
         x = x.squeeze(axis=(2, 3))  # (B, T', C)

@@ -96,6 +96,20 @@ class TestFrechet:
         f2 = np.random.RandomState(11).randn(32, 8) + 0.5
         assert calculate_fvd2(f1, f2) > 0
 
+    def test_nonfinite_features_return_nan_not_hang(self):
+        """NaN features must short-circuit: scipy sqrtm on NaN matrices
+        can spin forever inside LAPACK (wedged a training run's periodic
+        validation)."""
+        import warnings
+
+        f1 = np.random.RandomState(12).randn(16, 8)
+        f2 = f1.copy()
+        f2[0, 0] = np.nan
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert np.isnan(frechet_distance(f1, f2))
+            assert any("non-finite" in str(x.message) for x in w)
+
 
 class TestI3D:
     def test_preprocess(self):
@@ -105,6 +119,17 @@ class TestI3D:
         out = preprocess_videos(v)
         assert out.shape == (1, 4, 224, 224, 3)
         assert float(out.min()) >= -1 and float(out.max()) <= 1
+
+    @pytest.mark.slow
+    def test_short_clip_features_finite(self):
+        """8-frame clips reach the final avg_pool with T'=1; the clamped
+        temporal kernel must yield finite features (a hard kernel of 2
+        produced a ZERO-size pool whose mean was silently NaN)."""
+        ex = I3DExtractor(seed=0)
+        v = np.random.RandomState(21).rand(2, 8, 32, 32, 3).astype(np.float32)
+        f = ex.get_feats(v)
+        assert f.shape == (2, 400)
+        assert np.isfinite(f).all()
 
     @pytest.mark.slow
     def test_feature_shapes_deterministic(self):
