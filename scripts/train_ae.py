@@ -165,7 +165,11 @@ def main():
         "source": jnp.zeros((2, dp["frame_shape"], dp["frame_shape"], 3)),
         "driving": jnp.zeros((2, dp["frame_shape"], dp["frame_shape"], 3)),
     }
-    variables = model.init({"params": root_key, "tps": jax.random.PRNGKey(0)}, init_batch)
+    # jit the init: eager init dispatches thousands of tiny ops one by one
+    # — through the tunneled TPU that is minutes of RTT before training
+    # even starts (observed 10+ min for the 78M-param LFAE).
+    variables = jax.jit(model.init)(
+        {"params": root_key, "tps": jax.random.PRNGKey(0)}, init_batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"LFAE parameters: {n_params/1e6:.2f}M")
 
