@@ -801,16 +801,21 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             # merged recompute + backward per HEAD PAIR (see _headpack_ok):
             # one live (W8, N, 2N) probability matrix instead of all
             # heads', and every matmul streams against a full-width tile.
+            # Matmul operands cast to the IO dtype (f32 accumulate) like
+            # the forward and the module path's autodiff; softmax and dS
+            # algebra stay f32. EXTDM_ATTN_BF16=0 keeps f32 operands.
+            cdt = dtype if _attn_io_dtype_casts() else f32
             if M:
                 mask2 = jnp.concatenate([mask_add, mask_add], axis=-1)
             half_m = None
             outs, dqs, dks, dvs = [], [], [], []
             for p2 in range(heads // 2):
                 sl2 = slice(2 * p2 * dim_head, (2 * p2 + 2) * dim_head)
-                k_bd = _block_diag2(k[:, :, sl2], dim_head)
-                v_bd = _block_diag2(v[:, :, sl2], dim_head)
+                q_c = q[:, :, sl2].astype(cdt)
+                k_bd = _block_diag2(k[:, :, sl2].astype(cdt), dim_head)
+                v_bd = _block_diag2(v[:, :, sl2].astype(cdt), dim_head)
                 s = jax.lax.dot_general(
-                    q[:, :, sl2], k_bd,
+                    q_c, k_bd,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (W8, N, 2N)
@@ -828,19 +833,20 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 d1 = jnp.sum(jnp.where(half_m, e, 0.0), -1, keepdims=True)
                 d2 = jnp.sum(jnp.where(half_m, 0.0, e), -1, keepdims=True)
                 p = e / jnp.where(half_m, d1, d2)
+                p_c = p.astype(cdt)
                 outs.append(jax.lax.dot_general(
-                    p, v_bd,
+                    p_c, v_bd,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 ))  # (W8, N, 2dh) — contiguous output lane block
-                dO = do[:, :, sl2]
+                dO = do[:, :, sl2].astype(cdt)
                 dP = jax.lax.dot_general(
                     dO, v_bd,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (W8, N, 2N)
                 dv_bd = jax.lax.dot_general(
-                    p, dO,
+                    p_c, dO,
                     dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (W8, 2N, 2dh): diagonal blocks are the head grads
@@ -849,15 +855,16 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 pdp = dP * p
                 r1 = jnp.sum(jnp.where(half_m, pdp, 0.0), -1, keepdims=True)
                 r2 = jnp.sum(jnp.where(half_m, 0.0, pdp), -1, keepdims=True)
-                dS = p * (dP - jnp.where(half_m, r1, r2))
+                dS = (p * (dP - jnp.where(half_m, r1, r2)))
                 dbias_ref[p2] += dS.sum(axis=0).astype(dbias_ref.dtype)
+                dS_c = dS.astype(cdt)
                 dqs.append(jax.lax.dot_general(
-                    dS, k_bd,
+                    dS_c, k_bd,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 ))  # (W8, N, 2dh)
                 dk_bd = jax.lax.dot_general(
-                    dS, q[:, :, sl2],
+                    dS_c, q_c,
                     dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (W8, 2N, 2dh)
@@ -1688,13 +1695,16 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
         dqs, dks, dvs = [], [], []
         if pack2:
             NB = qp.shape[1]
+            # operand casts: see the STW backward's packed branch.
+            cdt = dtype if _attn_io_dtype_casts() else f32
             half_m = lane_m = None
             for p2 in range(heads // 2):
                 sl2 = slice(2 * p2 * dim_head, (2 * p2 + 2) * dim_head)
-                k_bd = _block_diag2(kp[:, :, sl2], dim_head)
-                v_bd = _block_diag2(vp[:, :, sl2], dim_head)
+                q_c = qp[:, :, sl2].astype(cdt)
+                k_bd = _block_diag2(kp[:, :, sl2].astype(cdt), dim_head)
+                v_bd = _block_diag2(vp[:, :, sl2].astype(cdt), dim_head)
                 s = jax.lax.dot_general(
-                    qp[:, :, sl2], k_bd,
+                    q_c, k_bd,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (Pg, NB, 2NB)
@@ -1710,8 +1720,9 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 d1 = jnp.sum(jnp.where(half_m, e, 0.0), -1, keepdims=True)
                 d2 = jnp.sum(jnp.where(half_m, 0.0, e), -1, keepdims=True)
                 p = e / jnp.where(half_m, d1, d2)
+                p_c = p.astype(cdt)
                 o_h = jax.lax.dot_general(
-                    p, v_bd,
+                    p_c, v_bd,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 ).reshape(P * T, 2 * dim_head)
@@ -1720,14 +1731,14 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 ).astype(dwproj_ref.dtype)
-                dO = dop[:, :, sl2]
+                dO = dop[:, :, sl2].astype(cdt)
                 dP = jax.lax.dot_general(
                     dO, v_bd,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (Pg, NB, 2NB)
                 dv_bd = jax.lax.dot_general(
-                    p, dO,
+                    p_c, dO,
                     dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # (Pg, 2NB, 2dh)
@@ -1738,13 +1749,14 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 r2 = jnp.sum(jnp.where(half_m, 0.0, pdp), -1, keepdims=True)
                 dS = p * (dP - jnp.where(half_m, r1, r2))
                 dbias_ref[p2] += dS.sum(axis=0).astype(dbias_ref.dtype)
+                dS_c = dS.astype(cdt)
                 dqs.append(jax.lax.dot_general(
-                    dS, k_bd,
+                    dS_c, k_bd,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 ))
                 dk_bd = jax.lax.dot_general(
-                    dS, qp[:, :, sl2],
+                    dS_c, q_c,
                     dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )
