@@ -67,6 +67,9 @@ def main():
         else:
             variables = restore_like(variables, ckpt)
         print(f"loaded {args.checkpoint}")
+    # commit restored (host-numpy) weights to the device once; otherwise
+    # every encode call re-uploads them through the tunnel.
+    variables = jax.device_put(variables)
 
     total_videos = args.total_videos or vp.get("total_videos", 256)
     dataset = VideoDataset(dp["root_dir"], type=vp["type"], total_videos=total_videos,

@@ -103,6 +103,10 @@ def main():
         ckpt = load_checkpoint(args.checkpoint)
         unet_vars = {"params": restore_like(unet_vars["params"], ckpt["state"]["unet_params"])}
         print(f"loaded diffusion from {args.checkpoint}")
+    # commit restored (host-numpy) weights to the device once; otherwise
+    # every sampler call re-uploads them through the tunnel.
+    lfae_vars = jax.device_put(lfae_vars)
+    unet_vars = jax.device_put(unet_vars)
 
     num_autoreg = math.ceil(total_pred / fd_cfg.pred_frames)
     print(f"autoregressive rounds: {num_autoreg} x {fd_cfg.pred_frames} frames")
