@@ -59,6 +59,14 @@ def _per_frame_ssim(videos1, videos2) -> np.ndarray:
     v1, v2 = np.asarray(videos1), np.asarray(videos2)
     assert v1.shape == v2.shape
     B, T = v1.shape[:2]
+    if v1.ndim == 5 and (v1.shape[3] < 11 or v1.shape[4] < 11):
+        # Channels-last input reaches here with W == C == 3 and would
+        # otherwise produce an empty 11x11 valid region (the native kernel
+        # used to abort the whole process on it). Reference layout is
+        # (B, T, C, H, W) — metrics/calculate_ssim.py:30-39.
+        raise ValueError(
+            f"SSIM expects channels-first (B, T, C, H, W) with H, W >= 11; "
+            f"got {v1.shape} (channels-last input? transpose first)")
     # fast path: the native C++ kernel (extdm_tpu/native/ssim.cpp)
     if v1.ndim == 5:
         try:

@@ -60,6 +60,14 @@ def ssim_batch(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
     b = np.ascontiguousarray(img2, np.float32)
     assert a.shape == b.shape and a.ndim == 4, (a.shape, b.shape)
     n, c, h, w = a.shape
+    if h < 11 or w < 11:
+        # A sub-window plane makes the valid region empty/negative; in the
+        # C++ kernel that aborts the process (std::length_error), so refuse
+        # here. A (N, H, W, C) channels-last batch lands in this branch too
+        # (w == C == 3) — the metric API is channels-first, reference layout.
+        raise ValueError(
+            f"ssim_batch needs (N, C, H, W) with H, W >= 11; got {a.shape} "
+            "(channels-last input? transpose to channels-first)")
     out = np.zeros(n, np.float64)
     lib.ssim_batch(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -78,6 +78,14 @@ class TestSSIM:
         v2[1] = np.clip(v2[1] + 0.4, 0, 1)
         assert calculate_ssim2(v2, v1, num_sample=2) > 0.999
 
+    def test_channels_last_raises_loudly(self):
+        # Regression: a channels-last (B, T, H, W, C) batch used to reach the
+        # native kernel as w == C == 3 and abort the whole process
+        # (std::length_error in a C++ vector resize). It must raise instead.
+        v = np.random.RandomState(8).rand(2, 3, 32, 32, 3).astype(np.float32)
+        with np.testing.assert_raises(ValueError):
+            calculate_ssim1(v, v)
+
 
 class TestFrechet:
     def test_zero_for_same_distribution(self):
