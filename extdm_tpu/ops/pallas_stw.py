@@ -149,6 +149,35 @@ def _softmax_lane_halves(s, n: int, ablate):
     return e / jnp.where(half, d1, d2)
 
 
+def _softmax_lane_halves_parts(s, n: int, ablate):
+    """Like _softmax_lane_halves but defers the normalization: returns
+    (e, r1, r2) with e the per-half exp'd scores and r1/r2 the per-half
+    reciprocal denominators ((..., 1) each). The caller multiplies the
+    ATT OUTPUT lane-halves by r1/r2 — 2*dh elements per row instead of
+    2*N score elements (the forward kernels' measured ~1 ms/layer divide).
+    r1/r2 are None when softmax is ablated."""
+    if "softmax" in ablate:
+        return s, None, None
+    half = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) < n
+    if "softmax_max" not in ablate:
+        m1 = jnp.max(jnp.where(half, s, -1e30), axis=-1, keepdims=True)
+        m2 = jnp.max(jnp.where(half, -1e30, s), axis=-1, keepdims=True)
+        s = s - jax.lax.stop_gradient(jnp.where(half, m1, m2))
+    e = jnp.exp(s)
+    d1 = jnp.sum(jnp.where(half, e, 0.0), axis=-1, keepdims=True)
+    d2 = jnp.sum(jnp.where(half, 0.0, e), axis=-1, keepdims=True)
+    return e, 1.0 / d1, 1.0 / d2
+
+
+def _apply_half_recip(o, r1, r2, dh: int):
+    """Scale the packed att output's lane halves ((..., 2*dh)) by the
+    deferred softmax reciprocals; no-op when softmax was ablated."""
+    if r1 is None:
+        return o
+    lane = jax.lax.broadcasted_iota(jnp.int32, o.shape, o.ndim - 1)
+    return o * jnp.where(lane < dh, r1, r2)
+
+
 def _pack_bias_pairs(bias_hnn):
     """(heads, N, N) -> (heads//2, N, 2N): lane-concat each head pair's
     bias to match the packed score layout (host-side, hoisted)."""
@@ -342,31 +371,26 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
             h = h.reshape(KT, wd, wh, nww, ww, C)
             h = h.transpose(0, 3, 1, 2, 4, 5).reshape(W8 * N, C)
         # --- qkv ------------------------------------------------------
+        # when rot, wqkv_ref is AUGMENTED host-side (_fused_padded) with
+        # two signed pair-swapped column blocks so RoPE's rotate-half
+        # comes off the MXU (rot(z) = z*cos + R(z)*sin) — no lane rolls;
+        # the q 1/sqrt(d) scale is folded into the weights too.
         qkv = jax.lax.dot_general(
             h.astype(x_ref.dtype), wqkv_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )  # (W8*N, 3*hidden)
-        q = qkv[:, :hidden].reshape(W8, N, hidden) * (dim_head ** -0.5)
+        )  # (W8*N, (3 or 5)*hidden)
+        q = qkv[:, :hidden].reshape(W8, N, hidden)
         k = qkv[:, hidden:2 * hidden].reshape(W8, N, hidden)
-        v = qkv[:, 2 * hidden:].reshape(W8, N, hidden)
+        v = qkv[:, 2 * hidden:3 * hidden].reshape(W8, N, hidden)
         # --- rotary (interleaved pairs, head-tiled tables) -------------
         if rot and "rope" not in ablate:
             cos = cos_ref[:].astype(f32)[None]  # (1, N, hidden) pre-tiled
             sin = sin_ref[:].astype(f32)[None]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, N, hidden), 2)
-            even = (lane % 2) == 0
-
-            def rope(a):
-                # pairs (2i, 2i+1) never straddle head boundaries, so the
-                # lane rolls act within each head's dim_head block; sin is
-                # zeroed on pass-through lanes (rot < dim_head).
-                up = pltpu.roll(a, hidden - 1, axis=2)  # x[2i+1] -> lane 2i
-                down = pltpu.roll(a, 1, axis=2)         # x[2i] -> lane 2i+1
-                half = jnp.where(even, -up, down)
-                return a * cos + half * sin
-
-            q, k = rope(q), rope(k)
+            qr = qkv[:, 3 * hidden:4 * hidden].reshape(W8, N, hidden)
+            kr = qkv[:, 4 * hidden:].reshape(W8, N, hidden)
+            q = q * cos + qr * sin
+            k = k * cos + kr * sin
         # --- per-program shift-mask block --------------------------------
         if M:
             # pre-expanded in XLA (scan-invariant -> hoisted out of the
@@ -400,13 +424,14 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 s = s + bias_ref[p2].astype(f32)[None]
                 if M:
                     s = s + mask2
-                s = _softmax_lane_halves(s, N, ablate)
+                e, r1, r2 = _softmax_lane_halves_parts(s, N, ablate)
                 v_bd = _block_diag2(v[:, :, sl2], dim_head)
-                outs.append(jax.lax.dot_general(
-                    s.astype(v.dtype), v_bd,
+                op = jax.lax.dot_general(
+                    e.astype(v.dtype), v_bd,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
-                ))  # (W8, N, 2*dim_head)
+                )  # (W8, N, 2*dim_head)
+                outs.append(_apply_half_recip(op, r1, r2, dim_head))
             o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
         else:
             outs = []
@@ -420,17 +445,19 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 s = s + bias_ref[hd].astype(f32)[None]
                 if M:
                     s = s + mask_add
+                recip = None
                 if "softmax" not in ablate:
                     if "softmax_max" not in ablate:
                         s = s - jax.lax.stop_gradient(
                             s.max(axis=-1, keepdims=True))
-                    e = jnp.exp(s)
-                    s = e / e.sum(axis=-1, keepdims=True)
-                outs.append(jax.lax.dot_general(
+                    s = jnp.exp(s)
+                    recip = 1.0 / s.sum(axis=-1, keepdims=True)
+                op = jax.lax.dot_general(
                     s.astype(v.dtype), v[:, :, sl],
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
-                ))  # (W8, N, dim_head)
+                )  # (W8, N, dim_head)
+                outs.append(op if recip is None else op * recip)
             o = jnp.concatenate(outs, axis=-1).reshape(W8 * N, hidden)
         # --- output projection + residual -------------------------------
         o = jax.lax.dot_general(
@@ -485,9 +512,22 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
     pack2 = _headpack_ok(heads, dim_head)
     bias_spec = (heads // 2, N, 2 * N) if pack2 else (heads, N, N)
     bias_in = (_pack_bias_pairs(bias_hnn) if pack2 else bias_hnn)
+    # gamma-folded qkv weights, q pre-scaled by 1/sqrt(d); when rot, two
+    # signed pair-swapped column blocks are appended so the kernel's RoPE
+    # rotate-half comes off the MXU (see _temporal_impl for the original).
+    w_f = gamma.astype(jnp.float32)[:, None] * w_qkv.astype(jnp.float32)
+    wq = w_f[:, :hidden] * (dim_head ** -0.5)
+    wk = w_f[:, hidden:2 * hidden]
+    wv = w_f[:, 2 * hidden:]
+    if rot:
+        w_in = jnp.concatenate(
+            [wq, wk, wv, _pair_swap_neg(wq), _pair_swap_neg(wk)], axis=1)
+    else:
+        w_in = jnp.concatenate([wq, wk, wv], axis=1)
+    n_aug = w_in.shape[1]
     in_specs = [
         x_spec,
-        const((C, 3 * hidden)),     # w_qkv (gamma folded in)
+        const((C, n_aug)),          # w_qkv (gamma folded, rope-augmented)
         const((hidden, C)),         # w_proj
         const((1, C)),              # b_proj
         const(bias_spec),           # bias (pair-packed when pack2)
@@ -496,8 +536,7 @@ def _fused_padded(x, gamma, w_qkv, w_proj, b_proj, bias_hnn, cos, sin,
     ]
     inputs = [
         x,
-        (gamma.astype(jnp.float32)[:, None]
-         * w_qkv.astype(jnp.float32)).astype(x.dtype),
+        w_in.astype(x.dtype),
         w_proj.astype(x.dtype),
         b_proj.reshape(1, C).astype(jnp.float32),
         bias_in.astype(jnp.float32), cos, sin,
@@ -1376,13 +1415,14 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                     preferred_element_type=f32,
                 )  # (P/G, NB, 2NB)
                 s = s + bias_ref[p2].astype(f32)[None]
-                s = _softmax_lane_halves(s, NB, ablate)
+                e, r1, r2 = _softmax_lane_halves_parts(s, NB, ablate)
                 v_bd = _block_diag2(v[:, :, sl2], dim_head)
-                outs.append(jax.lax.dot_general(
-                    s.astype(v.dtype), v_bd,
+                op = jax.lax.dot_general(
+                    e.astype(v.dtype), v_bd,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
-                ))
+                )
+                outs.append(_apply_half_recip(op, r1, r2, dim_head))
             o = jnp.concatenate(outs, axis=-1)
         else:
             outs = []
@@ -1394,17 +1434,19 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                     preferred_element_type=f32,
                 )  # (P/G, R, R) or (P, T, T)
                 s = s + bias_ref[hd].astype(f32)[None]
+                recip = None
                 if "softmax" not in ablate:
                     if "softmax_max" not in ablate:
                         s = s - jax.lax.stop_gradient(
                             s.max(axis=-1, keepdims=True))
-                    e = jnp.exp(s)
-                    s = e / e.sum(axis=-1, keepdims=True)
-                outs.append(jax.lax.dot_general(
+                    s = jnp.exp(s)
+                    recip = 1.0 / s.sum(axis=-1, keepdims=True)
+                op = jax.lax.dot_general(
                     s.astype(v.dtype), v[:, :, sl],
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
-                ))
+                )
+                outs.append(op if recip is None else op * recip)
             o = jnp.concatenate(outs, axis=-1)
         o = o.reshape(P * T, hidden)
         o = jax.lax.dot_general(

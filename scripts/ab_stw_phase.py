@@ -70,7 +70,7 @@ def timed(shift):
     return float(np.median(ts)) * 1e3 / 16
 
 sh = tuple(min(2, w // 2) for w in wd)
-print(f"RESULT {timed(sh):.3f} {timed((0,0,0)):.3f}")
+print("RESULT %.3f %.3f" % (timed(sh), timed((0, 0, 0))))
 """
 
 
