@@ -63,6 +63,10 @@ class _PointwiseConvParams(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
+        elif x.dtype != w.dtype:
+            # nn.Conv promotes mixed operand dtypes; lax.dot_general raises.
+            common = jnp.promote_types(x.dtype, w.dtype)
+            x, w = x.astype(common), w.astype(common)
         lead = x.shape[:-1]
         y = jax.lax.dot_general(
             x.reshape(-1, cin), w,

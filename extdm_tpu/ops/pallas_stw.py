@@ -83,6 +83,9 @@ def _ablate() -> frozenset:
       'softmax_max'  skip the row-max subtraction (numerically equivalent
                      when scores stay < ~88; still exact softmax)
       'softmax'      raw scores, no exp/normalize        (WRONG RESULTS)
+                     (softmax_max additionally casts UNNORMALIZED exp(s)
+                     to the v dtype before the att matmul — can overflow
+                     bf16 to inf; fine for timing, never for values)
       'regroup'      identity window regroup             (WRONG RESULTS)
       'rope'         skip rotary                          (WRONG RESULTS)
       'attn'         skip score/att matmuls, use v        (WRONG RESULTS)
@@ -133,24 +136,10 @@ def _block_diag2(a, dh: int):
                             jnp.where(lane >= dh, a, zero)], axis=a.ndim - 2)
 
 
-def _softmax_lane_halves(s, n: int, ablate):
-    """Softmax over each lane-half of s (..., 2n) independently: the
-    packed score layout holds two heads' rows side by side."""
-    half = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) < n
-    if "softmax" in ablate:
-        return s
-    if "softmax_max" not in ablate:
-        m1 = jnp.max(jnp.where(half, s, -1e30), axis=-1, keepdims=True)
-        m2 = jnp.max(jnp.where(half, -1e30, s), axis=-1, keepdims=True)
-        s = s - jax.lax.stop_gradient(jnp.where(half, m1, m2))
-    e = jnp.exp(s)
-    d1 = jnp.sum(jnp.where(half, e, 0.0), axis=-1, keepdims=True)
-    d2 = jnp.sum(jnp.where(half, 0.0, e), axis=-1, keepdims=True)
-    return e / jnp.where(half, d1, d2)
-
-
 def _softmax_lane_halves_parts(s, n: int, ablate):
-    """Like _softmax_lane_halves but defers the normalization: returns
+    """Softmax over each lane-half of s (..., 2n) independently — the
+    packed score layout holds two heads' rows side by side — deferring
+    the normalization: returns
     (e, r1, r2) with e the per-half exp'd scores and r1/r2 the per-half
     reciprocal denominators ((..., 1) each). The caller multiplies the
     ATT OUTPUT lane-halves by r1/r2 — 2*dh elements per row instead of

@@ -4,6 +4,7 @@ from extdm_tpu.train.checkpoint import (
     load_checkpoint,
     restore_like,
     save_checkpoint,
+    select_gate_metric,
     start_step_from_example,
 )
 from extdm_tpu.train.dm_trainer import DMTrainer, DMTrainState
@@ -22,4 +23,5 @@ __all__ = [
     "restore_like",
     "start_step_from_example",
     "gate_best",
+    "select_gate_metric",
 ]

@@ -62,3 +62,27 @@ def gate_best(path: str, best_dir: str, metric: float, prefix: str) -> str:
     dst = os.path.join(best_dir, f"{prefix}_best_{metric:.3f}.ckpt")
     shutil.copyfile(path, dst)
     return dst
+
+
+def select_gate_metric(vm: Dict[str, Any]) -> tuple:
+    """Pick the best-checkpoint gating criterion for a validation dict.
+
+    With a pretrained I3D, gate on FVD (lower is better) like the
+    reference acceptance loop (ref scripts/DM/train.py:425-435). With a
+    RANDOM-INIT I3D the feature space is degenerate: the deep random
+    conv+ReLU+pool stack averages input differences away, so every clip
+    maps to nearly the same 400-d activation (measured within-set feature
+    std ~7e-5 on [0,1] video — data-independent bias/ReLU structure
+    dominates). Real and fake Gaussians then coincide and FVD collapses
+    to ~1e-4 ≈ 0.000 for EVERY checkpoint, so gating on it selects
+    arbitrarily (round-2 trainruns gated on a constant 0.000). Fall back
+    to SSIM, an absolute pixel metric that needs no backbone.
+
+    Returns ``(sort_value, display_value, name)`` where ``sort_value``
+    is uniformly lower-is-better (SSIM is negated), ``display_value`` is
+    the raw metric for the best-checkpoint filename, and ``name`` is
+    ``"fvd"`` or ``"ssim"``.
+    """
+    if vm.get("i3d_pretrained"):
+        return float(vm["valid_fvd"]), float(vm["valid_fvd"]), "fvd"
+    return -float(vm["valid_ssim"]), float(vm["valid_ssim"]), "ssim"

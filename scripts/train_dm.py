@@ -293,17 +293,18 @@ def main():
                     print(f"valid @ {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vm.items()))
                     if not vm["i3d_pretrained"]:
                         print("WARNING: FVD computed with a RANDOM-INIT I3D "
-                              "(no --i3d_params): values are deterministic but "
-                              "NOT comparable to published numbers; best-ckpt "
-                              "gating below is tagged 'randI3D'.")
-                    if vm["valid_fvd"] < best_fvd:
-                        best_fvd = vm["valid_fvd"]
-                        from extdm_tpu.train import gate_best
+                              "(no --i3d_params): the random feature space is "
+                              "degenerate (FVD ~0 for every checkpoint), so "
+                              "best-ckpt gating falls back to SSIM.")
+                    from extdm_tpu.train import gate_best, select_gate_metric
+                    sort_val, disp_val, crit = select_gate_metric(vm)
+                    if sort_val < best_fvd:
+                        best_fvd = sort_val
                         ck = os.path.join(args.log_dir, "flowdiff.ckpt")
                         save_checkpoint(ck, {"example": step * batch_size,
                                              "step": step, "state": state})
-                        prefix = "flowdiff" if vm["i3d_pretrained"] else "flowdiff_randI3D"
-                        gate_best(ck, args.log_dir, best_fvd, prefix)
+                        prefix = "flowdiff" if crit == "fvd" else f"flowdiff_{crit}"
+                        gate_best(ck, args.log_dir, disp_val, prefix)
                 step += 1
 
     save_checkpoint(os.path.join(args.log_dir, "flowdiff.ckpt"),

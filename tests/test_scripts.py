@@ -84,7 +84,8 @@ def test_cli_pipeline(tiny_setup):
     assert ae_valid and ae_valid[0]["i3d_pretrained"] == 0.0
     ae_log = open(os.path.join(ae_dir, "train.log")).read()
     assert "RANDOM-INIT I3D" in ae_log
-    assert any(f.startswith("RegionMM_randI3D_best_") for f in os.listdir(ae_dir))
+    # random-init I3D => degenerate FVD => gate falls back to SSIM (VERDICT r2 #3)
+    assert any(f.startswith("RegionMM_ssim_best_") for f in os.listdir(ae_dir))
 
     dm_dir = os.path.join(root, "dm")
     r = run(["scripts/train_dm.py", "--config", cfg, "--log_dir", dm_dir,
@@ -108,7 +109,7 @@ def test_cli_pipeline(tiny_setup):
     assert dm_valid and dm_valid[0]["i3d_pretrained"] == 0.0
     dm_log = open(os.path.join(dm_dir, "train.log")).read()
     assert "RANDOM-INIT I3D" in dm_log
-    assert any(f.startswith("flowdiff_randI3D_best_") for f in os.listdir(dm_dir))
+    assert any(f.startswith("flowdiff_ssim_best_") for f in os.listdir(dm_dir))
     # imgshot/vidshot 2x5 panels (ref scripts/DM/train.py:281-399)
     assert os.listdir(os.path.join(dm_dir, "imgshots"))
     assert os.listdir(os.path.join(dm_dir, "vidshots"))
@@ -223,6 +224,42 @@ def test_i3d_pretrained_flag_both_ways():
     assert rand.pretrained is False
     given = I3DExtractor(params=rand.params)
     assert given.pretrained is True
+
+
+def test_select_gate_metric_switches_on_i3d_flag():
+    """Best-ckpt gating must use FVD only with a pretrained I3D; a
+    random-init I3D's FVD is degenerate (~0 for every checkpoint), so the
+    gate falls back to SSIM (VERDICT r2 #3; ref scripts/DM/train.py:425-435)."""
+    from extdm_tpu.train import select_gate_metric
+
+    vm = {"valid_fvd": 123.4, "valid_ssim": 0.7, "i3d_pretrained": 1.0}
+    sort_val, disp_val, crit = select_gate_metric(vm)
+    assert (sort_val, disp_val, crit) == (123.4, 123.4, "fvd")
+
+    vm["i3d_pretrained"] = 0.0
+    sort_val, disp_val, crit = select_gate_metric(vm)
+    assert crit == "ssim" and disp_val == 0.7
+    # sort_val is uniformly lower-is-better: higher SSIM must sort lower
+    better = dict(vm, valid_ssim=0.9)
+    assert select_gate_metric(better)[0] < sort_val
+
+
+def test_random_i3d_fvd_is_degenerate():
+    """Document WHY the gate falls back: a random-init I3D maps visually
+    different clips to nearly identical features, so FVD between two
+    distinct clip sets collapses to ~0 and cannot rank checkpoints."""
+    from extdm_tpu.metrics import I3DExtractor, calculate_fvd2
+
+    rs = np.random.RandomState(0)
+    a = rs.rand(4, 10, 32, 32, 3).astype(np.float32)
+    b = rs.rand(4, 10, 32, 32, 3).astype(np.float32)
+    ex = I3DExtractor()
+    fa, fb = ex.get_feats(a), ex.get_feats(b)
+    # within-set feature variation is tiny relative to the mean activation
+    # (even on uniform NOISE inputs; real clips collapse further)
+    rel_std = float(np.std(fa, axis=0).mean() / (np.abs(fa).mean() + 1e-12))
+    assert rel_std < 0.05
+    assert calculate_fvd2(fa, fb) < 1.0
 
 
 def test_dm_shot_panels():
