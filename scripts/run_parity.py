@@ -1,0 +1,354 @@
+"""Pretrained-weight parity kit: one command from the external blobs to a
+±2% FVD/LPIPS verdict on KTH 10→40 (BASELINE.md north star).
+
+The environment ships NO pretrained weights (the reference snapshot's
+`.MISSING_LARGE_BLOBS` lists `metrics/i3d_torchscript.pt`; torchvision/
+lpips download at runtime in the reference, ref metrics/fvd.py:33-40,
+model/LFAE/model.py:19-60). The moment the four blobs exist, this script
+turns the north-star claim into one command:
+
+    python scripts/run_parity.py \
+        --ae RegionMM.pth --dm flowdiff.pth \
+        --i3d i3d.pth --lpips lpips_alex.pth [--vgg19 vgg19.pth] \
+        --config configs/DM/kth.yaml --root_dir /data/kth64 \
+        --out_dir logs/parity
+
+Stages:
+1. convert — each torch input (.pth/.pt/.tar) is converted with
+   extdm_tpu.convert.torch2jax into msgpack checkpoints; inputs that are
+   already msgpack (.ckpt/.msgpack) pass through untouched.
+2. valid — scripts/valid_dm.py runs the reference evaluation protocol
+   (ref scripts/DM/valid.py:199-252 via scripts/DM/valid_DM_kth.sh:12-30):
+   KTH 10→40 autoregressive rollout, DDIM-10, --num_sample_video
+   trajectories with best-of-n selection, FVD/PSNR/SSIM/LPIPS.
+3. verdict — parse metrics.txt, compare FVD (and LPIPS when a baseline is
+   given) against --baseline_fvd within --tolerance, write verdict.json
+   and print one JSON line.
+
+`--dryrun` exercises every stage in CI without any blob: it builds a tiny
+synthetic dataset, trains 1-step AE/DM stand-in checkpoints, fabricates
+shape-correct random torch state dicts for I3D (via the reference's own
+metrics/pytorch_i3d.py), LPIPS-AlexNet and VGG19, runs the real convert
+path on them, and evaluates 2 videos x 2 trajectories. The verdict is
+tagged "dryrun": numbers are meaningless; the plumbing is what's tested.
+
+Baseline provenance: FVD 355.236 is the KTH 10→40 value embedded in the
+reference's own launcher (ref scripts/DM/valid_DM_kth.sh:18, BASELINE.md).
+It is a full-protocol valid.py number; compare fvd_traj (the mean over
+trajectories) by default, or --fvd_field fvd_best for the best-of-n
+variant the reference also reports. No reference LPIPS value is
+recoverable in-tree, so LPIPS parity requires --baseline_lpips.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TORCH_EXTS = (".pth", ".pt", ".tar")
+
+
+def _is_torch(path: str) -> bool:
+    return path.lower().endswith(TORCH_EXTS)
+
+
+def _load_torch(path: str):
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        # TorchScript archive (e.g. i3d_torchscript.pt)
+        return torch.jit.load(path, map_location="cpu")
+
+
+def _as_numpy_sd(sd) -> dict:
+    out = {}
+    for k, v in sd.items():
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else v
+    return out
+
+
+def convert_blob(kind: str, src: str, out_path: str, config: str | None = None) -> str:
+    """Convert one torch blob to a framework msgpack checkpoint; msgpack
+    inputs pass through. Returns the path to use downstream."""
+    if not _is_torch(src):
+        return src
+    from extdm_tpu.convert.torch2jax import (
+        convert_dm_checkpoint,
+        convert_i3d,
+        convert_lfae_checkpoint,
+        convert_lpips,
+        convert_vgg19,
+    )
+    from extdm_tpu.train import save_checkpoint
+
+    obj = _load_torch(src)
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()
+
+    if kind == "ae":
+        assert config, "--config required to convert an AE checkpoint"
+        from extdm_tpu.config import load_config
+
+        cfg = load_config(config)
+        ckpt = {k: _as_numpy_sd(v) for k, v in obj.items()
+                if k in ("generator", "region_predictor", "bg_predictor")}
+        assert ckpt, f"{src}: no generator/region_predictor/bg_predictor entries"
+        variables = convert_lfae_checkpoint(ckpt, cfg["flow_params"]["model_params"])
+    elif kind == "dm":
+        sd = obj["diffusion"] if isinstance(obj, dict) and "diffusion" in obj else obj
+        params = convert_dm_checkpoint(_as_numpy_sd(sd))
+        variables = {"state": {"unet_params": params},
+                     "example": int(obj.get("example", 0)) if isinstance(obj, dict) else 0}
+    else:
+        sd = _as_numpy_sd(obj)
+        try:
+            variables = {"vgg19": convert_vgg19, "lpips": convert_lpips,
+                         "i3d": convert_i3d}[kind](sd)
+        except KeyError as e:
+            raise SystemExit(
+                f"{kind} conversion failed on {src}: missing key {e}.\n"
+                f"Available keys (first 20): {sorted(sd)[:20]}\n"
+                "For a TorchScript I3D whose module names differ from "
+                "metrics/pytorch_i3d.py, export its state_dict and remap to "
+                "that layout first (ref metrics/pytorch_i3d.py:135-321).")
+    save_checkpoint(out_path, variables)
+    print(f"converted {src} ({kind}) -> {out_path}")
+    return out_path
+
+
+def parse_metrics(path: str) -> dict:
+    """metrics.txt (scripts/valid_dm.py) -> flat dict."""
+    out: dict = {}
+    for line in open(path):
+        if m := re.match(r"fvd_traj mean/std/conf95: ([\d.eE+-]+) / ([\d.eE+-]+) / ([\d.eE+-]+)", line):
+            out["fvd_traj"], out["fvd_std"], out["fvd_conf95"] = map(float, m.groups())
+        elif m := re.match(r"fvd_best: ([\d.eE+-]+)", line):
+            out["fvd_best"] = float(m.group(1))
+        elif m := re.match(r"psnr2 \(best-of-\d+\): ([\d.eE+-]+)", line):
+            out["psnr2"] = float(m.group(1))
+        elif m := re.match(r"ssim2 \(best-of-\d+\): ([\d.eE+-]+)", line):
+            out["ssim2"] = float(m.group(1))
+        elif m := re.match(r"lpips2 \(best-of-\d+\): ([\d.eE+-]+)", line):
+            out["lpips2"] = float(m.group(1))
+        elif m := re.match(r"i3d_pretrained: (\w+)", line):
+            out["i3d_pretrained"] = m.group(1) == "True"
+        elif m := re.match(r"lpips_pretrained: (\w+)", line):
+            out["lpips_pretrained"] = m.group(1) == "True"
+    return out
+
+
+def _fabricate_dryrun_blobs(blob_dir: str) -> dict:
+    """Shape-correct random torch state dicts for the three pretrained nets,
+    saved as .pth so the REAL convert path runs in CI. I3D uses the
+    reference's own pure-pytorch InceptionI3d (ref metrics/pytorch_i3d.py)."""
+    import numpy as np
+    import torch
+
+    paths = {}
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from metrics.pytorch_i3d import InceptionI3d  # type: ignore
+
+        torch.manual_seed(0)
+        i3d = InceptionI3d(400, in_channels=3)
+        paths["i3d"] = os.path.join(blob_dir, "i3d_rand.pth")
+        torch.save(i3d.state_dict(), paths["i3d"])
+    finally:
+        sys.path.remove("/root/reference")
+
+    rs = np.random.RandomState(0)
+
+    def t(*shape, scale=0.05):
+        return torch.from_numpy(rs.randn(*shape).astype("float32") * scale)
+
+    # lpips.LPIPS(net='alex') layout (slices over torchvision alexnet convs)
+    alex = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+            (256, 384, 3, 3), (256, 256, 3, 3)]
+    conv_idx = [0, 3, 6, 8, 10]
+    lp = {}
+    for j, (shape, i) in enumerate(zip(alex, conv_idx)):
+        lp[f"net.slice{j+1}.{i}.weight"] = t(*shape)
+        lp[f"net.slice{j+1}.{i}.bias"] = t(shape[0])
+        lp[f"lin{j}.model.1.weight"] = t(1, shape[0], 1, 1).abs()
+    paths["lpips"] = os.path.join(blob_dir, "lpips_rand.pth")
+    torch.save(lp, paths["lpips"])
+
+    # torchvision vgg19().features layout
+    from extdm_tpu.convert.torch2jax import _VGG19_CONV_IDX
+
+    vgg_chans = [3, 64, 64, 128, 128, 256, 256, 256, 256,
+                 512, 512, 512, 512, 512, 512, 512, 512]
+    vg = {}
+    for j, i in enumerate(_VGG19_CONV_IDX):
+        vg[f"features.{i}.weight"] = t(vgg_chans[j + 1], vgg_chans[j], 3, 3)
+        vg[f"features.{i}.bias"] = t(vgg_chans[j + 1])
+    paths["vgg19"] = os.path.join(blob_dir, "vgg19_rand.pth")
+    torch.save(vg, paths["vgg19"])
+    return paths
+
+
+def _dryrun_setup(out_dir: str) -> dict:
+    """Tiny dataset + 1-step AE/DM checkpoints + fabricated torch blobs."""
+    import yaml
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", EXTDM_PALLAS="0",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+
+    def run(args):
+        r = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=1800)
+        assert r.returncode == 0, f"{args}\n{r.stderr[-3000:]}"
+
+    data = os.path.join(out_dir, "data")
+    run(["scripts/make_dataset.py", "shapes", "--out", data, "--num_train", "6",
+         "--num_valid", "4", "--num_frames", "10", "--image_size", "32"])
+
+    cfg = yaml.safe_load(open(os.path.join(REPO, "configs/DM/shapes.yaml")))
+    cfg["dataset_params"].update(root_dir=data, frame_shape=32)
+    cfg["dataset_params"]["train_params"].update(cond_frames=2, pred_frames=2)
+    cfg["dataset_params"]["valid_params"].update(
+        cond_frames=2, pred_frames=2, type="valid", total_videos=2)
+    fp = cfg["flow_params"]["model_params"]
+    fp["num_regions"] = 3
+    fp["region_predictor_params"].update(block_expansion=8, max_features=16, num_blocks=2)
+    fp["bg_predictor_params"].update(block_expansion=8, max_features=16, num_blocks=2)
+    fp["generator_params"].update(block_expansion=8, max_features=32,
+                                  num_bottleneck_blocks=1)
+    fp["generator_params"]["pixelwise_flow_predictor_params"].update(
+        block_expansion=8, max_features=16, num_blocks=2)
+    cfg["flow_params"]["train_params"] = dict(
+        max_epochs=1, num_repeats=1, lr=2e-4, batch_size=2, valid_batch_size=2,
+        dataloader_workers=0, print_freq=1, update_ckpt_freq=100,
+        save_ckpt_freq=100, save_img_freq=100,
+        scheduler_param=dict(milestones=[100], gamma=0.5), scales=[1, 0.5],
+        transform_params=dict(sigma_affine=0.05, sigma_tps=0.005, points_tps=5),
+        loss_weights=dict(perceptual=[1, 1, 1, 1, 1], equivariance_shift=10,
+                          equivariance_affine=10, reconstruction=10))
+    cfg["diffusion_params"]["model_params"]["sampling_timesteps"] = 2
+    cfg["diffusion_params"]["train_params"].update(batch_size=2, dataloader_workers=0,
+                                                   print_freq=1)
+    cfg_path = os.path.join(out_dir, "tiny.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    ae_dir, dm_dir = os.path.join(out_dir, "ae"), os.path.join(out_dir, "dm")
+    run(["scripts/train_ae.py", "--config", cfg_path, "--log_dir", ae_dir,
+         "--max_steps", "1", "--batch_size", "2", "--valid_every", "0"])
+    run(["scripts/train_dm.py", "--config", cfg_path, "--log_dir", dm_dir,
+         "--flowae_checkpoint", os.path.join(ae_dir, "RegionMM.ckpt"),
+         "--max_steps", "1", "--batch_size", "2"])
+
+    blob_dir = os.path.join(out_dir, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    blobs = _fabricate_dryrun_blobs(blob_dir)
+    return dict(config=cfg_path, ae=os.path.join(ae_dir, "RegionMM.ckpt"),
+                dm=os.path.join(dm_dir, "flowdiff.ckpt"), **blobs)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ae", default="", help="RegionMM .pth (torch) or .ckpt (msgpack)")
+    p.add_argument("--dm", default="", help="flowdiff .pth (torch) or .ckpt (msgpack)")
+    p.add_argument("--i3d", default="", help="I3D weights (.pth state dict, "
+                   "TorchScript .pt, or converted msgpack)")
+    p.add_argument("--lpips", default="", help="lpips.LPIPS(net='alex') weights")
+    p.add_argument("--vgg19", default="", help="torchvision vgg19 weights "
+                   "(converted for AE-stage training; not used in the verdict)")
+    p.add_argument("--config", default="configs/DM/kth.yaml")
+    p.add_argument("--root_dir", default=None, help="KTH h5 dataset root")
+    p.add_argument("--out_dir", default="logs/parity")
+    p.add_argument("--num_sample_video", type=int, default=100)
+    p.add_argument("--total_videos", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--baseline_fvd", type=float, default=355.236,
+                   help="reference KTH 10->40 FVD (scripts/DM/valid_DM_kth.sh:18)")
+    p.add_argument("--baseline_lpips", type=float, default=None,
+                   help="reference LPIPS (not recoverable in-tree; paper value)")
+    p.add_argument("--tolerance", type=float, default=0.02)
+    p.add_argument("--fvd_field", default="fvd_traj", choices=["fvd_traj", "fvd_best"])
+    p.add_argument("--dryrun", action="store_true",
+                   help="CI mode: tiny synthetic data + fabricated random "
+                        "blobs through the full convert->valid->verdict path")
+    args = p.parse_args()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.dryrun:
+        setup = _dryrun_setup(args.out_dir)
+        args.ae, args.dm = setup["ae"], setup["dm"]
+        args.i3d, args.lpips, args.vgg19 = setup["i3d"], setup["lpips"], setup["vgg19"]
+        args.config = setup["config"]
+        args.num_sample_video, args.total_videos, args.batch_size = 2, 2, 2
+
+    for name in ("ae", "dm", "i3d", "lpips"):
+        if not getattr(args, name):
+            raise SystemExit(f"--{name} is required (or use --dryrun)")
+
+    # stage 1: convert
+    conv_dir = os.path.join(args.out_dir, "converted")
+    os.makedirs(conv_dir, exist_ok=True)
+    ae_ckpt = convert_blob("ae", args.ae, os.path.join(conv_dir, "RegionMM.ckpt"),
+                           config=args.config)
+    dm_ckpt = convert_blob("dm", args.dm, os.path.join(conv_dir, "flowdiff.ckpt"))
+    i3d_ckpt = convert_blob("i3d", args.i3d, os.path.join(conv_dir, "i3d.msgpack"))
+    lpips_ckpt = convert_blob("lpips", args.lpips, os.path.join(conv_dir, "lpips.msgpack"))
+    if args.vgg19:
+        convert_blob("vgg19", args.vgg19, os.path.join(conv_dir, "vgg19.msgpack"))
+
+    # stage 2: reference evaluation protocol (KTH 10->40)
+    valid_dir = os.path.join(args.out_dir, "valid")
+    cmd = [sys.executable, "scripts/valid_dm.py", "--config", args.config,
+           "--log_dir", valid_dir, "--checkpoint", dm_ckpt,
+           "--flowae_checkpoint", ae_ckpt, "--i3d_params", i3d_ckpt,
+           "--lpips_params", lpips_ckpt,
+           "--num_sample_video", str(args.num_sample_video),
+           "--total_videos", str(args.total_videos),
+           "--batch_size", str(args.batch_size), "--seed", str(args.seed)]
+    if args.root_dir:
+        cmd += ["--root_dir", args.root_dir]
+    env = dict(os.environ)
+    if args.dryrun:
+        env.update(JAX_PLATFORMS="cpu", EXTDM_PALLAS="0")
+    print("running:", " ".join(cmd))
+    r = subprocess.run(cmd, cwd=REPO, env=env)
+    if r.returncode != 0:
+        raise SystemExit(f"valid_dm failed ({r.returncode})")
+
+    # stage 3: verdict
+    m = parse_metrics(os.path.join(valid_dir, "metrics.txt"))
+    fvd = m.get(args.fvd_field)
+    verdict = {
+        "metrics": m,
+        "baseline_fvd": args.baseline_fvd,
+        "fvd_field": args.fvd_field,
+        "tolerance": args.tolerance,
+        "dryrun": args.dryrun,
+    }
+    if fvd is None or not m.get("i3d_pretrained", False):
+        verdict["parity"] = None
+        verdict["reason"] = ("FVD missing or computed with a random-init I3D "
+                             "— not comparable to the published baseline")
+    else:
+        rel = abs(fvd - args.baseline_fvd) / args.baseline_fvd
+        verdict["fvd_rel_err"] = rel
+        verdict["parity"] = bool(rel <= args.tolerance or fvd < args.baseline_fvd)
+        if args.baseline_lpips is not None and "lpips2" in m:
+            rel_lp = abs(m["lpips2"] - args.baseline_lpips) / args.baseline_lpips
+            verdict["lpips_rel_err"] = rel_lp
+            verdict["parity"] = bool(verdict["parity"] and (
+                rel_lp <= args.tolerance or m["lpips2"] < args.baseline_lpips))
+    with open(os.path.join(args.out_dir, "verdict.json"), "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict))
+
+
+if __name__ == "__main__":
+    main()

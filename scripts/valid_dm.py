@@ -51,6 +51,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--i3d_params", default="", help="converted I3D weights (msgpack)")
+    p.add_argument("--lpips_params", default="",
+                   help="converted LPIPS-AlexNet weights (msgpack)")
     p.add_argument("--metrics", default="fvd,psnr,ssim,lpips",
                    help="comma-separated subset of fvd,psnr,ssim,lpips")
     p.add_argument("--dump_flow", action="store_true",
@@ -212,7 +214,12 @@ def main():
         ssim2 = calculate_ssim2(tchw(samples), tchw(real_rep), n_traj)
         lines.append(f"ssim2 (best-of-{n_traj}): {ssim2:.4f}")
     if "lpips" in wanted:
-        lpips_m = LPIPSMetric()
+        lpips_params = None
+        if args.lpips_params and os.path.exists(args.lpips_params):
+            from extdm_tpu.train import load_checkpoint as _lc
+
+            lpips_params = _lc(args.lpips_params)
+        lpips_m = LPIPSMetric(params=lpips_params)
         lpips2 = lpips_m.calculate_lpips2(samples, real_rep, n_traj)
         lines += [
             f"lpips2 (best-of-{n_traj}): {lpips2:.4f}",

@@ -226,6 +226,26 @@ def test_i3d_pretrained_flag_both_ways():
     assert given.pretrained is True
 
 
+@pytest.mark.slow
+def test_run_parity_dryrun(tmp_path):
+    """The pretrained-parity kit's full convert->valid->verdict path runs
+    in CI with fabricated random blobs (VERDICT r2 #6). Real blobs swap in
+    via --ae/--dm/--i3d/--lpips with no code change."""
+    out = str(tmp_path / "parity")
+    r = run(["scripts/run_parity.py", "--dryrun", "--out_dir", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    v = json.load(open(os.path.join(out, "verdict.json")))
+    assert v["dryrun"] is True
+    assert v["metrics"]["i3d_pretrained"] is True  # converted blob was USED
+    assert v["metrics"]["lpips_pretrained"] is True
+    assert "fvd_traj" in v["metrics"] and "lpips2" in v["metrics"]
+    # the torch blobs went through the REAL convert path (the AE/DM ckpts
+    # are already msgpack in dryrun and pass through untouched)
+    conv = os.path.join(out, "converted")
+    for f in ("i3d.msgpack", "lpips.msgpack", "vgg19.msgpack"):
+        assert os.path.exists(os.path.join(conv, f)), f
+
+
 def test_select_gate_metric_switches_on_i3d_flag():
     """Best-ckpt gating must use FVD only with a pretrained I3D; a
     random-init I3D's FVD is degenerate (~0 for every checkpoint), so the
