@@ -152,14 +152,23 @@ def main():
         seed=args.seed,
     )
     dataset = DatasetRepeater(dataset, tp.get("num_repeats", 1))
+    mesh = make_data_mesh(batch_size)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    def _to_device(batch):
+        """Producer-thread collate->device: the transfer overlaps the
+        previous device step (round-2 AE runs spent 55% of step time in
+        host-side data work serialized after each step)."""
+        return {k: shard_batch(jnp.asarray(v), mesh)
+                for k, v in batch.items() if k in ("source", "driving")}
+
     loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
-                        seed=args.seed, worker_type=args.loader)
+                        seed=args.seed, worker_type=args.loader,
+                        device_put=_to_device)
 
     model = ReconstructionModel(train=True,
                                 dtype=jnp.bfloat16 if args.bf16 else None,
                                 **ae_model_kwargs(cfg))
-    mesh = make_data_mesh(batch_size)
-    print(f"mesh: {dict(mesh.shape)}")
 
     init_batch = {
         "source": jnp.zeros((2, dp["frame_shape"], dp["frame_shape"], 3)),
@@ -227,12 +236,14 @@ def main():
             for batch in loader:
                 if step >= max_steps:
                     break
-                batch = {k: shard_batch(jnp.asarray(v), mesh)
-                         for k, v in batch.items() if k in ("source", "driving")}
                 timer.mark_data()
                 key = jax.random.fold_in(root_key, step)
                 state, aux = step_fn(state, key, batch)
-                timer.mark_step(aux["loss_total"])
+                if step % 8 == 7:
+                    # real device->host read: bounds async-dispatch
+                    # run-ahead (see scripts/train_dm.py)
+                    float(aux["loss_total"])
+                timer.mark_step()
                 if step % print_freq == 0:
                     vals = {k: float(v) for k, v in aux.items()}
                     from extdm_tpu.train.dm_trainer import notfinite_count

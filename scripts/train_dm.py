@@ -196,12 +196,25 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(unet_vars["params"]))
     print(f"UNet parameters: {n_params/1e6:.2f}M")
 
+    mesh = make_data_mesh(batch_size)
+    print(f"mesh: {dict(mesh.shape)}")
+
     num_frames = fd_cfg.cond_frames + fd_cfg.pred_frames
     dataset = VideoDataset(dp["root_dir"], type=dp["train_params"]["type"],
                            num_frames=num_frames, image_size=dp["frame_shape"],
                            seed=args.seed)
+
+    def _to_device(batch):
+        """Runs in the loader's producer thread: layout canonicalization +
+        the host->device transfer overlap the previous device step instead
+        of serializing after it (round-2 runs spent 44% of step time here)."""
+        clips, idx = batch
+        video = np.stack([to_rgb_video(c) for c in clips])
+        return shard_batch(jnp.asarray(video), mesh), idx
+
     loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
-                        seed=args.seed, worker_type=args.loader)
+                        seed=args.seed, worker_type=args.loader,
+                        device_put=_to_device)
 
     sched = tp["scheduler_param"]
     trainer = DMTrainer(fd, make_optimizer(tp["lr"], sched["milestones"],
@@ -217,8 +230,6 @@ def main():
             start_step = start_step_from_example(ckpt["example"], batch_size)
         print(f"resumed from {args.checkpoint} at step {start_step}")
 
-    mesh = make_data_mesh(batch_size)
-    print(f"mesh: {dict(mesh.shape)}")
     if args.shard_map:
         step_fn = trainer.shard_mapped_train_step(mesh)
         print("explicit shard_map DP train step")
@@ -257,15 +268,19 @@ def main():
 
     with mesh:
         while step < max_steps:
-            for clips, _idx in loader:
+            for video, _idx in loader:
                 if step >= max_steps:
                     break
-                video = np.stack([to_rgb_video(c) for c in clips])  # (B,T,H,W,3)
-                video = shard_batch(jnp.asarray(video), mesh)
                 timer.mark_data()
                 key = jax.random.fold_in(root_key, step)
                 state, aux = step_fn(state, lfae_vars, key, video)
-                timer.mark_step(aux["loss"])
+                if step % 8 == 7:
+                    # real device->host read (the tunneled runtime's
+                    # block_until_ready returns optimistically): bounds
+                    # async-dispatch run-ahead to <=8 steps of in-flight
+                    # input buffers while the host prepares batches ahead.
+                    float(aux["loss"])
+                timer.mark_step()
                 if step % print_freq == 0:
                     vals = {k: float(v) for k, v in aux.items()}
                     nf = notfinite_count(state.opt_state)
