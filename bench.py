@@ -77,6 +77,61 @@ KTH_FLOW_PARAMS = dict(
 )
 
 
+def bench_train_step(iters: int) -> dict:
+    """DM train step (frozen-LFAE encode + UNet fwd/bwd + AdamW) at the
+    single-chip sweet-spot batch 16 (ref hot path: scripts/DM/train.py:
+    197-247). Returns the JSON payload for the second metric line."""
+    from extdm_tpu.models.dm import FlowDiffusion, FlowDiffusionConfig
+    from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    cfg = FlowDiffusionConfig(
+        flow_params=KTH_FLOW_PARAMS,
+        cond_frames=10,
+        pred_frames=20,
+        frame_shape=64,
+        timesteps=1000,
+        sampling_timesteps=10,
+        dim=64,
+        dim_mults=(1, 2, 4, 4),
+        attn_heads=8,
+        attn_dim_head=32,
+        remat=True,
+        dtype=jnp.bfloat16,
+    )
+    fd = FlowDiffusion(cfg)
+    lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+    trainer = DMTrainer(fd, make_optimizer(2e-4, (500000,), 0.5))
+    state = trainer.init_state(unet_vars)
+    step_fn = trainer.jitted_train_step(donate=False)
+
+    T = cfg.cond_frames + cfg.pred_frames
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(batch, T, 64, 64, 3), jnp.float32)
+
+    state, aux = step_fn(state, lfae_vars, jax.random.PRNGKey(1), video)
+    float(np.asarray(aux["loss"]))  # true host sync (tunneled device)
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state, aux = step_fn(state, lfae_vars,
+                             jax.random.fold_in(jax.random.PRNGKey(2), i),
+                             video)
+        float(np.asarray(aux["loss"]))
+        times.append(time.perf_counter() - t0)
+    print("train per-iter seconds:", [round(t, 3) for t in times],
+          file=sys.stderr)
+    ms = float(np.median(times)) * 1000.0
+    fps = batch * T / (ms / 1000.0)
+    return {
+        "metric": "kth_train_step_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "ms_per_step": round(ms, 1),
+        "batch": batch,
+    }
+
+
 def main():
     from extdm_tpu.models.dm import FlowDiffusion, FlowDiffusionConfig
 
@@ -126,12 +181,28 @@ def main():
 
     frames = batch * cfg.pred_frames
     fps = frames / elapsed
-    print(json.dumps({
+
+    # Second metric (train-step throughput) printed FIRST so the headline
+    # sampling line stays last for last-line JSON parsers; its key numbers
+    # are duplicated as fields of the headline line for first-line parsers.
+    train = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            train = bench_train_step(iters)
+            print(json.dumps(train))
+        except Exception as e:  # never let the train metric sink the headline
+            print(f"train bench failed: {e!r}", file=sys.stderr)
+
+    headline = {
         "metric": "kth_ddim10_sampling_throughput",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
-    }))
+    }
+    if train is not None:
+        headline["train_frames_per_sec"] = train["value"]
+        headline["train_ms_per_step_b16"] = train["ms_per_step"]
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

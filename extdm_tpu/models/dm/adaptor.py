@@ -158,7 +158,14 @@ class MotionAdaptor(nn.Module):
         w_t = _TmodParams(kshape, num_frames * C, self.dtype,
                           name="Tmodulator")()
         w3 = w_t[0].reshape(num_frames, C, C * self.tp)
-        xc = xm2p.astype(self.dtype) if self.dtype is not None else xm2p
+        if self.dtype is not None:
+            xc = xm2p.astype(self.dtype)
+        elif xm2p.dtype != w3.dtype:
+            # nn.Conv promotes mixed operand dtypes; lax.dot_general raises.
+            common = jnp.promote_types(xm2p.dtype, w3.dtype)
+            xc, w3 = xm2p.astype(common), w3.astype(common)
+        else:
+            xc = xm2p
         y = jax.lax.dot_general(
             xc, w3, dimension_numbers=(((1, 4), (0, 1)), ((), ())))
         y = y + w_t[1].astype(y.dtype)          # (B, H, W, tp*C)

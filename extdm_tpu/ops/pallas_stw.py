@@ -136,6 +136,21 @@ def _block_diag2(a, dh: int):
                             jnp.where(lane >= dh, a, zero)], axis=a.ndim - 2)
 
 
+def _softmax_scalar_max() -> bool:
+    """Subtract ONE program-scalar max (jnp.max over the whole score
+    block) instead of per-row / per-lane-half maxes before exp. Exact
+    softmax: any constant shift that is uniform within a row cancels in
+    the normalization, and a block scalar is uniform within every row.
+    Kills the two masked row-max passes + the per-row broadcast subtract
+    (measured 1.7 ms of the 13.7 ms plain S=32 STW layer,
+    scripts/ab_stw_phase.py '-rowmax'). exp can't overflow (s - m <= 0);
+    underflow of a whole row's denominator needs a > ~104 score spread
+    inside one program block (f32 subnormal floor) — unreachable for
+    LN'd attention activations. EXTDM_SOFTMAX_SCALAR=0 restores the
+    per-row maxes."""
+    return os.environ.get("EXTDM_SOFTMAX_SCALAR", "1") == "1"
+
+
 def _softmax_lane_halves_parts(s, n: int, ablate):
     """Softmax over each lane-half of s (..., 2n) independently — the
     packed score layout holds two heads' rows side by side — deferring
@@ -149,9 +164,12 @@ def _softmax_lane_halves_parts(s, n: int, ablate):
         return s, None, None
     half = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) < n
     if "softmax_max" not in ablate:
-        m1 = jnp.max(jnp.where(half, s, -1e30), axis=-1, keepdims=True)
-        m2 = jnp.max(jnp.where(half, -1e30, s), axis=-1, keepdims=True)
-        s = s - jax.lax.stop_gradient(jnp.where(half, m1, m2))
+        if _softmax_scalar_max():
+            s = s - jax.lax.stop_gradient(jnp.max(s))
+        else:
+            m1 = jnp.max(jnp.where(half, s, -1e30), axis=-1, keepdims=True)
+            m2 = jnp.max(jnp.where(half, -1e30, s), axis=-1, keepdims=True)
+            s = s - jax.lax.stop_gradient(jnp.where(half, m1, m2))
     e = jnp.exp(s)
     d1 = jnp.sum(jnp.where(half, e, 0.0), axis=-1, keepdims=True)
     d2 = jnp.sum(jnp.where(half, 0.0, e), axis=-1, keepdims=True)
@@ -437,8 +455,9 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 recip = None
                 if "softmax" not in ablate:
                     if "softmax_max" not in ablate:
-                        s = s - jax.lax.stop_gradient(
-                            s.max(axis=-1, keepdims=True))
+                        m = (jnp.max(s) if _softmax_scalar_max()
+                             else s.max(axis=-1, keepdims=True))
+                        s = s - jax.lax.stop_gradient(m)
                     s = jnp.exp(s)
                     recip = 1.0 / s.sum(axis=-1, keepdims=True)
                 op = jax.lax.dot_general(
@@ -665,7 +684,9 @@ def _make_kernel_wm(G: int, N: int, C: int, heads: int, dim_head: int,
             s = s + bias_ref[hd].astype(f32)[None]
             if M:
                 s = s + mask_add
-            s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+            m = (jnp.max(s) if _softmax_scalar_max()
+                 else s.max(axis=-1, keepdims=True))
+            s = s - jax.lax.stop_gradient(m)
             e = jnp.exp(s)
             s = e / e.sum(axis=-1, keepdims=True)
             outs.append(jax.lax.dot_general(
@@ -855,9 +876,14 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                         jnp.int32, s.shape, s.ndim - 1) < N
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (W8, N, 2 * dim_head), 2)
-                m1 = jnp.max(jnp.where(half_m, s, -1e30), -1, keepdims=True)
-                m2 = jnp.max(jnp.where(half_m, -1e30, s), -1, keepdims=True)
-                e = jnp.exp(s - jnp.where(half_m, m1, m2))
+                if _softmax_scalar_max():
+                    e = jnp.exp(s - jnp.max(s))
+                else:
+                    m1 = jnp.max(jnp.where(half_m, s, -1e30), -1,
+                                 keepdims=True)
+                    m2 = jnp.max(jnp.where(half_m, -1e30, s), -1,
+                                 keepdims=True)
+                    e = jnp.exp(s - jnp.where(half_m, m1, m2))
                 d1 = jnp.sum(jnp.where(half_m, e, 0.0), -1, keepdims=True)
                 d2 = jnp.sum(jnp.where(half_m, 0.0, e), -1, keepdims=True)
                 p = e / jnp.where(half_m, d1, d2)
@@ -911,7 +937,8 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 s = s + bias_ref[hd].astype(f32)[None]
                 if M:
                     s = s + mask_add
-                s = s - s.max(axis=-1, keepdims=True)
+                s = s - (jnp.max(s) if _softmax_scalar_max()
+                         else s.max(axis=-1, keepdims=True))
                 e = jnp.exp(s)
                 p = e / e.sum(axis=-1, keepdims=True)
                 ps.append(p)
@@ -1426,8 +1453,9 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 recip = None
                 if "softmax" not in ablate:
                     if "softmax_max" not in ablate:
-                        s = s - jax.lax.stop_gradient(
-                            s.max(axis=-1, keepdims=True))
+                        m = (jnp.max(s) if _softmax_scalar_max()
+                             else s.max(axis=-1, keepdims=True))
+                        s = s - jax.lax.stop_gradient(m)
                     s = jnp.exp(s)
                     recip = 1.0 / s.sum(axis=-1, keepdims=True)
                 op = jax.lax.dot_general(
@@ -1707,7 +1735,8 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 preferred_element_type=f32,
             )
             s = s + bias_ref[hd].astype(f32)[None]
-            s = s - s.max(axis=-1, keepdims=True)
+            s = s - (jnp.max(s) if _softmax_scalar_max()
+                     else s.max(axis=-1, keepdims=True))
             e = jnp.exp(s)
             return e / e.sum(axis=-1, keepdims=True)
 
@@ -1745,9 +1774,14 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                         jnp.int32, s.shape, s.ndim - 1) < NB
                     lane_m = jax.lax.broadcasted_iota(
                         jnp.int32, (s.shape[0], NB, 2 * dim_head), 2)
-                m1 = jnp.max(jnp.where(half_m, s, -1e30), -1, keepdims=True)
-                m2 = jnp.max(jnp.where(half_m, -1e30, s), -1, keepdims=True)
-                e = jnp.exp(s - jnp.where(half_m, m1, m2))
+                if _softmax_scalar_max():
+                    e = jnp.exp(s - jnp.max(s))
+                else:
+                    m1 = jnp.max(jnp.where(half_m, s, -1e30), -1,
+                                 keepdims=True)
+                    m2 = jnp.max(jnp.where(half_m, -1e30, s), -1,
+                                 keepdims=True)
+                    e = jnp.exp(s - jnp.where(half_m, m1, m2))
                 d1 = jnp.sum(jnp.where(half_m, e, 0.0), -1, keepdims=True)
                 d2 = jnp.sum(jnp.where(half_m, 0.0, e), -1, keepdims=True)
                 p = e / jnp.where(half_m, d1, d2)
