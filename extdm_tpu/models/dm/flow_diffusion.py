@@ -311,10 +311,11 @@ class FlowDiffusion:
         """video: (B, tc+tp, H, W, C) in [0,1]. Returns (eps-loss, aux)."""
         from extdm_tpu.ops import pallas_resnet, pallas_stw
 
-        with pallas_resnet.inference_only_scope():
-            # the resnet kernel has no dedicated backward: pallas forward
-            # + XLA-recompute backward is a net loss for training, so the
-            # loss trace always uses the XLA resnet path.
+        # resnet blocks whose dedicated backward kernel fits trace the
+        # fused forward + pallas backward; the rest keep the pure-XLA
+        # path end to end (pallas fwd + XLA-recompute bwd is a measured
+        # net loss) — per-shape routing in pallas_resnet.route.
+        with pallas_resnet.train_scope():
             if pallas_stw.backward_kernels_enabled():
                 # fused attention layers train with dedicated pallas
                 # backward kernels — forward AND backward single-pass.

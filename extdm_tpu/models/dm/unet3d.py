@@ -115,9 +115,8 @@ class ResnetBlock3d(nn.Module):
             rc = nn.Conv(self.features, (1, 1, 1), kernel_init=torch_kernel_init,
                          bias_init=torch_bias_init(x.shape[-1]), dtype=self.dtype,
                          name="res_conv")
-        if (not self.is_initializing()) and pallas_resnet.enabled() \
-                and pallas_resnet.supported(
-                    x.shape, x.shape[-1], self.features, self.groups):
+        if (not self.is_initializing()) and pallas_resnet.route(
+                x.shape, x.shape[-1], self.features, self.groups):
             # fused whole-block pallas path: both convs, GroupNorms, FiLM,
             # SiLUs and the residual in one program per sample. Children
             # are materialized on tiny slices only to define params (same

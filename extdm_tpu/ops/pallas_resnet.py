@@ -22,10 +22,14 @@ TPU mapping:
   with an in-kernel one-hot group-averaging matrix (channels never leave
   the lane dim; Mosaic forbids reshaping it).
 
-Backward falls back to the XLA module path via custom_vjp recompute; the
-training loss traces inside ``inference_only_scope`` so training keeps
-the pure-XLA forward (a pallas forward + full recompute backward is a
-net loss there — measured for the attention kernels too).
+Backward: a dedicated pallas kernel (``_make_bwd_kernel``, default on)
+recomputes the forward intermediates in VMEM and emits dx plus ALL
+weight grads (dW1/dW2 per tap, biases, GN scales, FiLM, res-conv) by
+accumulating into revisited constant-index output blocks across the
+sequential (B,) grid — mirroring the STW/temporal backward design.
+``EXTDM_PALLAS_RESNET_BWD=0`` falls back to the XLA module path via
+custom_vjp recompute (and then the training loss keeps the pure-XLA
+forward: pallas forward + full recompute backward is a net loss).
 """
 from __future__ import annotations
 
@@ -66,6 +70,41 @@ def inference_only_scope():
         yield
     finally:
         _TRACE_DISABLED = prev
+
+
+def backward_kernel_enabled() -> bool:
+    """Dedicated pallas resnet backward (default on; EXTDM_PALLAS_RESNET_BWD=0
+    falls back to the XLA-recompute custom_vjp). With it, the training loss
+    can trace the fused resnet forward too (see flow_diffusion.loss)."""
+    return os.environ.get("EXTDM_PALLAS_RESNET_BWD", "1") == "1"
+
+
+_TRAIN_TRACE = False
+
+
+@contextlib.contextmanager
+def train_scope():
+    """Code traced inside is a TRAINING loss: the fused resnet path is
+    taken only for shapes whose dedicated backward kernel also fits
+    (pallas forward + XLA-recompute backward is a measured net loss, so
+    unsupported-backward shapes keep the pure-XLA path end to end)."""
+    global _TRAIN_TRACE
+    prev = _TRAIN_TRACE
+    _TRAIN_TRACE = True
+    try:
+        yield
+    finally:
+        _TRAIN_TRACE = prev
+
+
+def route(shape, cin: int, cout: int, groups: int) -> bool:
+    """Single module-facing gate: fused kernel for this block?"""
+    if not (enabled() and supported(shape, cin, cout, groups)):
+        return False
+    if _TRAIN_TRACE:
+        return backward_kernel_enabled() and _bwd_supported(
+            shape, cin, cout, groups)
+    return True
 
 
 def supported(shape, cin: int, cout: int, groups: int) -> bool:
@@ -278,6 +317,300 @@ def _kernel_impl(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
     return out.reshape(B, T, H, W, Cout)
 
 
+# ------------------------------------------------------------ bwd kernel
+def _bwd_supported(shape, cin: int, cout: int, groups: int) -> bool:
+    """VMEM gate for the dedicated backward kernel.
+
+    CALIBRATED on-chip: at the flagship S=30720 Cin=128 Cout=64 block the
+    Mosaic register allocator spilled 179.8 MB of scoped VMEM against the
+    128 MB capacity ("register allocator spill slots in HLO" — the
+    backward keeps ~17 S-row intermediates live vs the forward's ~4),
+    i.e. ~3x the naive live-set model below. Whole-sample backward
+    programs therefore only fit the small-S levels; larger blocks fall
+    back to the XLA-recompute custom_vjp per shape. (A T-chunked 3-pass
+    grid would lift this — frames are conv-independent for the (1,3,3)
+    taps and only the GN reductions couple them — future work.)"""
+    B, T, H, W, C = shape
+    S = T * H * W
+    if S % 8 or cout % groups or C != cin:
+        return False
+    est = 3 * S * (2 * cin + 2 * cout + 4 * cout * 6)
+    return est <= 0.7 * pallas_stw._vmem_limit_bytes()
+
+
+def _make_bwd_kernel(S, Cin, Cout, Hd, Wd, G, has_film, has_res, hi_prec,
+                     eps, x_dtype):
+    cg = Cout // G
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if hi_prec else None
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+    TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def kernel(x_ref, g_ref, w1_ref, b1_ref, g1s_ref, g1b_ref, fs_ref,
+               fb_ref, w2_ref, b2_ref, g2s_ref, g2b_ref, wr_ref, br_ref,
+               dx_ref, dw1_ref, db1_ref, dg1s_ref, dg1b_ref, dfs_ref,
+               dfb_ref, dw2_ref, db2_ref, dg2s_ref, dg2b_ref, dwr_ref,
+               dbr_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _init():  # noqa: ANN202 — zero the accumulated weight grads
+            for ref in (dw1_ref, db1_ref, dg1s_ref, dg1b_ref, dw2_ref,
+                        db2_ref, dg2s_ref, dg2b_ref, dwr_ref, dbr_ref):
+                ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+        x = x_ref[0]                      # (S, Cin), compute dtype
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        w_pos = jax.lax.rem(rows, Wd)
+        h_pos = jax.lax.rem(rows // Wd, Hd)
+
+        def tap_mask(dy, dx):
+            m = None
+            if dx == -1:
+                m = w_pos >= 1
+            elif dx == 1:
+                m = w_pos <= Wd - 2
+            if dy == -1:
+                hm = h_pos >= 1
+                m = hm if m is None else jnp.logical_and(m, hm)
+            elif dy == 1:
+                hm = h_pos <= Hd - 2
+                m = hm if m is None else jnp.logical_and(m, hm)
+            return m
+
+        def conv(a, w_ref, b_ref, cout):
+            # identical to the forward kernel: matmul per tap, sublane
+            # roll of the f32 product, dest-row validity mask.
+            acc = jnp.broadcast_to(b_ref[:].astype(f32), (S, cout))
+            for i, (dy, dx) in enumerate(TAPS):
+                z = jax.lax.dot_general(
+                    a, w_ref[i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+                off = dy * Wd + dx
+                if off:
+                    z = pltpu.roll(z, (-off) % S, axis=0)
+                m = tap_mask(dy, dx)
+                if m is not None:
+                    z = jnp.where(m, z, jnp.zeros_like(z))
+                acc = acc + z
+            return acc
+
+        ci = jax.lax.broadcasted_iota(jnp.int32, (Cout, Cout), 0) // cg
+        cj = jax.lax.broadcasted_iota(jnp.int32, (Cout, Cout), 1) // cg
+        P = (ci == cj).astype(f32)
+        n = float(S * cg)
+
+        def gmean(t):  # (S, Cout) -> per-channel group mean (1, Cout)
+            return jax.lax.dot_general(
+                jnp.sum(t, axis=0, keepdims=True), P,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST) / n
+
+        def gn_stats(acc):
+            mean = gmean(acc)
+            msq = gmean(acc * acc)
+            rstd = jax.lax.rsqrt(msq - mean * mean + eps)
+            return mean, rstd
+
+        # ---- recompute the forward up to the SiLU inputs ---------------
+        a1 = conv(x, w1_ref, b1_ref, Cout)
+        mean1, rstd1 = gn_stats(a1)
+        n1 = (a1 - mean1) * rstd1                      # GN xhat, f32
+        y1 = n1 * g1s_ref[:].astype(f32) + g1b_ref[:].astype(f32)
+        if has_film:
+            fs = fs_ref[0].astype(f32)
+            fb = fb_ref[0].astype(f32)
+            y1f = y1 * (fs + 1.0) + fb
+        else:
+            y1f = y1
+        sig1 = jax.nn.sigmoid(y1f)
+        h1c = (y1f * sig1).astype(x.dtype)             # conv2 input
+        a2 = conv(h1c, w2_ref, b2_ref, Cout)
+        mean2, rstd2 = gn_stats(a2)
+        n2 = (a2 - mean2) * rstd2
+
+        # ---- backward --------------------------------------------------
+        g = g_ref[0].astype(f32)                       # d(out)
+        y2 = n2 * g2s_ref[:].astype(f32) + g2b_ref[:].astype(f32)
+        sig2 = jax.nn.sigmoid(y2)
+        dy2 = g * (sig2 * (1.0 + y2 * (1.0 - sig2)))   # SiLU'
+        dg2s_ref[...] += jnp.sum(dy2 * n2, axis=0,
+                                 keepdims=True).astype(dg2s_ref.dtype)
+        dg2b_ref[...] += jnp.sum(dy2, axis=0,
+                                 keepdims=True).astype(dg2b_ref.dtype)
+        dn2 = dy2 * g2s_ref[:].astype(f32)
+        da2 = rstd2 * (dn2 - gmean(dn2) - n2 * gmean(dn2 * n2))
+        db2_ref[...] += jnp.sum(da2, axis=0,
+                                keepdims=True).astype(db2_ref.dtype)
+
+        def conv_bwd(da, a_in, w_ref, dw_ref, cin):
+            """d(conv input) and accumulated d(weights) for one conv.
+            da: (S, Cout) f32 output grad; a_in: (S, cin) compute-dtype
+            conv input (for dW)."""
+            din = jnp.zeros((S, cin), f32)
+            for i, (dy, dx) in enumerate(TAPS):
+                m = tap_mask(dy, dx)
+                md = da if m is None else jnp.where(m, da,
+                                                    jnp.zeros_like(da))
+                off = dy * Wd + dx
+                if off:
+                    # fwd: acc[p] += a_in[p+off] @ w[i]; align grads to
+                    # input rows: row q receives md[q-off] (wrapped rows
+                    # carry zeros — the same edge masks guard them).
+                    md = pltpu.roll(md, off % S, axis=0)
+                md_c = md.astype(a_in.dtype)
+                din = din + jax.lax.dot_general(
+                    md_c, w_ref[i], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+                dw_ref[i] += jax.lax.dot_general(
+                    a_in, md_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=prec).astype(dw_ref.dtype)
+            return din
+
+        dh1 = conv_bwd(da2, h1c, w2_ref, dw2_ref, Cout)
+
+        dy1f = dh1 * (sig1 * (1.0 + y1f * (1.0 - sig1)))
+        if has_film:
+            dfs_ref[0] = jnp.sum(dy1f * y1, axis=0,
+                                 keepdims=True).astype(dfs_ref.dtype)
+            dfb_ref[0] = jnp.sum(dy1f, axis=0,
+                                 keepdims=True).astype(dfb_ref.dtype)
+            dy1 = dy1f * (fs + 1.0)
+        else:
+            dfs_ref[0] = jnp.zeros((1, Cout), dfs_ref.dtype)
+            dfb_ref[0] = jnp.zeros((1, Cout), dfb_ref.dtype)
+            dy1 = dy1f
+        dg1s_ref[...] += jnp.sum(dy1 * n1, axis=0,
+                                 keepdims=True).astype(dg1s_ref.dtype)
+        dg1b_ref[...] += jnp.sum(dy1, axis=0,
+                                 keepdims=True).astype(dg1b_ref.dtype)
+        dn1 = dy1 * g1s_ref[:].astype(f32)
+        da1 = rstd1 * (dn1 - gmean(dn1) - n1 * gmean(dn1 * n1))
+        db1_ref[...] += jnp.sum(da1, axis=0,
+                                keepdims=True).astype(db1_ref.dtype)
+
+        if has_res:
+            g_c = g.astype(x.dtype)
+            dx = jax.lax.dot_general(
+                g_c, wr_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            dwr_ref[...] += jax.lax.dot_general(
+                x, g_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=prec).astype(dwr_ref.dtype)
+            dbr_ref[...] += jnp.sum(g, axis=0,
+                                    keepdims=True).astype(dbr_ref.dtype)
+        else:
+            dx = g
+        dx = dx + conv_bwd(da1, x, w1_ref, dw1_ref, Cin)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _bwd_kernel_impl(x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+                     wres, bres, groups, eps, interpret):
+    pallas_stw._ensure_pallas()
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+    B, T, H, W, Cin = x.shape
+    Cout = w1.shape[-1]
+    S = T * H * W
+    xs = x.reshape(B, S, Cin)
+    gs = g.reshape(B, S, Cout).astype(x.dtype)
+    dtype = x.dtype
+
+    w1c = w1.reshape(9, Cin, Cout).astype(dtype)
+    w2c = w2.reshape(9, Cout, Cout).astype(dtype)
+
+    has_film = film is not None
+    if has_film:
+        fs, fb = jnp.split(film.astype(jnp.float32), 2, axis=-1)
+    else:
+        fs = jnp.zeros((B, Cout), jnp.float32)
+        fb = jnp.zeros((B, Cout), jnp.float32)
+    fs = fs.reshape(B, 1, Cout)
+    fb = fb.reshape(B, 1, Cout)
+    has_res = wres is not None
+    if not has_res:
+        wres = jnp.zeros((Cin, Cout), dtype)
+        bres = jnp.zeros((Cout,), jnp.float32)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape))
+    perb = lambda shape: pl.BlockSpec(shape, lambda b: (b,) + (0,) * (len(shape) - 1))
+    f32 = jnp.float32
+
+    kernel = _make_bwd_kernel(S, Cin, Cout, H, W, groups, has_film, has_res,
+                              dtype == jnp.float32, eps, dtype)
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, S, Cin), dtype),        # dx
+        jax.ShapeDtypeStruct((9, Cin, Cout), f32),       # dw1
+        jax.ShapeDtypeStruct((1, Cout), f32),            # db1
+        jax.ShapeDtypeStruct((1, Cout), f32),            # dg1s
+        jax.ShapeDtypeStruct((1, Cout), f32),            # dg1b
+        jax.ShapeDtypeStruct((B, 1, Cout), f32),         # dfs
+        jax.ShapeDtypeStruct((B, 1, Cout), f32),         # dfb
+        jax.ShapeDtypeStruct((9, Cout, Cout), f32),      # dw2
+        jax.ShapeDtypeStruct((1, Cout), f32),            # db2
+        jax.ShapeDtypeStruct((1, Cout), f32),            # dg2s
+        jax.ShapeDtypeStruct((1, Cout), f32),            # dg2b
+        jax.ShapeDtypeStruct((Cin, Cout), f32),          # dwres
+        jax.ShapeDtypeStruct((1, Cout), f32),            # dbres
+    ]
+    out_specs = [
+        perb((1, S, Cin)),
+        const((9, Cin, Cout)),
+        const((1, Cout)),
+        const((1, Cout)),
+        const((1, Cout)),
+        perb((1, 1, Cout)),
+        perb((1, 1, Cout)),
+        const((9, Cout, Cout)),
+        const((1, Cout)),
+        const((1, Cout)),
+        const((1, Cout)),
+        const((Cin, Cout)),
+        const((1, Cout)),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            perb((1, S, Cin)),
+            perb((1, S, Cout)),
+            const((9, Cin, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            perb((1, 1, Cout)),
+            perb((1, 1, Cout)),
+            const((9, Cout, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            const((1, Cout)),
+            const((Cin, Cout)),
+            const((1, Cout)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pallas_stw._vmem_limit_bytes()),
+        interpret=interpret,
+    )(xs, gs, w1c, b1.reshape(1, Cout).astype(f32),
+      g1s.reshape(1, Cout).astype(f32), g1b.reshape(1, Cout).astype(f32),
+      fs, fb, w2c, b2.reshape(1, Cout).astype(f32),
+      g2s.reshape(1, Cout).astype(f32), g2b.reshape(1, Cout).astype(f32),
+      wres.astype(dtype), bres.reshape(1, Cout).astype(f32))
+    (dx, dw1, db1, dg1s, dg1b, dfs, dfb, dw2, db2, dg2s, dg2b,
+     dwr, dbr) = outs
+    dx = dx.reshape(B, T, H, W, Cin)
+    dfilm = jnp.concatenate([dfs[:, 0], dfb[:, 0]], axis=-1)
+    return dx, dw1, db1, dg1s, dg1b, dfilm, dw2, db2, dg2s, dg2b, dwr, dbr
+
+
 # ------------------------------------------------------------- custom_vjp
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
 def _fused(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
@@ -297,6 +630,21 @@ def _fused_bwd(groups, eps, interpret, res, g):
     x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres = res
     has_film = film is not None
     has_res = wres is not None
+
+    if backward_kernel_enabled() and _bwd_supported(
+            x.shape, x.shape[-1], w1.shape[-1], groups):
+        (dx, dw1, db1, dg1s, dg1b, dfilm, dw2, db2, dg2s, dg2b,
+         dwr, dbr) = _bwd_kernel_impl(
+            x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
+            groups, eps, interpret)
+        cast = lambda t, p: t.reshape(p.shape).astype(p.dtype)
+        return (cast(dx, x), cast(dw1, w1), cast(db1, b1),
+                cast(dg1s, g1s), cast(dg1b, g1b),
+                cast(dfilm, film) if has_film else None,
+                cast(dw2, w2), cast(db2, b2), cast(dg2s, g2s),
+                cast(dg2b, g2b),
+                cast(dwr, wres) if has_res else None,
+                cast(dbr, bres) if has_res else None)
     args = [a for a in (x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
                         wres, bres)
             if a is not None]

@@ -295,9 +295,11 @@ def _vmem_limit_bytes() -> int:
 
     v5e has 128 MB physical VMEM; the compiler's default scoped limit is
     16 MB. Raising it admits larger programs than the default would —
-    measured: the FORWARD optimum stays at the 1024-token budget (bigger
-    programs lose DMA/compute overlap: 2048-token UNet fwd is ~5% slower,
-    4096 ~ -30%), but the BACKWARD kernels (~4x live intermediates) gain
+    measured (round 1, pre-head-packing): the forward optimum was the
+    1024-token budget. Post-packing (round 3) the balance flipped
+    slightly: 2048-token forwards win ~1.5% end-to-end (512: -1%,
+    sampling 293.3 / 296.1 / 300.6 f/s at 512/1024/2048) — 2048 is the
+    default now. The BACKWARD kernels (~4x live intermediates) gain
     headroom beyond the 256 tokens the 16 MB limit forced."""
     return int(os.environ.get("EXTDM_PALLAS_VMEM_MB", "96")) * 1024 * 1024
 
@@ -323,13 +325,14 @@ def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
              mult: int = 1) -> int:
     """T-window rows per program: bounded tokens/VMEM per program.
 
-    Default budget 1024 tokens — the measured optimum (512 is -2%,
-    2048/4096 lose DMA/compute overlap). The byte cap keeps adventurous
-    env budgets within the declared VMEM limit; `mult` scales the
-    estimate for the backward kernels (~4x the forward's intermediates).
+    Default budget 2048 tokens for forwards (round-3 measured optimum
+    post-head-packing; round 1's 1024 optimum predates it; 4096 still
+    loses DMA/compute overlap). The byte cap keeps adventurous env
+    budgets within the declared VMEM limit; `mult` scales the estimate
+    for the backward kernels (~4x the forward's intermediates).
     """
     if max_tokens is None:
-        max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "1024"))
+        max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "2048"))
     best = 1
     for kt in range(1, n_tw + 1):
         if n_tw % kt:
@@ -617,7 +620,7 @@ def _wm_reverse(ow, window, padded_shape):
 def _pick_g(nW: int, N: int, C: int, hidden: int, mult: int = 1) -> int:
     """Windows per program for the window-major kernel: largest divisor
     of nW within the token budget and scoped-VMEM cap."""
-    max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "1024"))
+    max_tokens = int(os.environ.get("EXTDM_STW_FWD_TOKENS", "2048"))
     best = 1
     for g in range(1, nW + 1):
         if nW % g:
@@ -1481,7 +1484,7 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
 def _pick_hr(Hp: int, Wd: int, T: int, c: int, max_tokens: int = None,
              hidden: int = None, mult: int = 1) -> int:
     if max_tokens is None:
-        max_tokens = int(os.environ.get("EXTDM_TEMPORAL_FWD_TOKENS", "1024"))
+        max_tokens = int(os.environ.get("EXTDM_TEMPORAL_FWD_TOKENS", "2048"))
     best = 1
     for hr in range(1, Hp + 1):
         if Hp % hr:

@@ -92,6 +92,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state like the real trainer loop")
     ap.add_argument("--stage", default="dm", choices=["dm", "ae"])
     ap.add_argument("--bf16", action="store_true",
                     help="AE stage only: bf16 compute policy (f32 matches the reference)")
@@ -124,7 +126,7 @@ def main():
 
     trainer = DMTrainer(fd, make_optimizer(2e-4, (500000,), 0.5))
     state = trainer.init_state(unet_vars)
-    step_fn = trainer.jitted_train_step(donate=False)
+    step_fn = trainer.jitted_train_step(donate=args.donate)
 
     T = cfg.cond_frames + cfg.pred_frames
     video = jnp.asarray(
@@ -151,6 +153,7 @@ def main():
         "pallas_stw": os.environ.get("EXTDM_PALLAS_STW", "1"),
         "pallas_bwd": os.environ.get("EXTDM_PALLAS_BWD", "1"),
         "remat": not args.no_remat,
+        "donate": args.donate,
     }))
 
 

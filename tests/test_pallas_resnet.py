@@ -145,3 +145,66 @@ def test_module_pallas_path_used(monkeypatch):
 def test_inference_only_scope():
     with pallas_resnet.inference_only_scope():
         assert not pallas_resnet.enabled()
+
+
+@pytest.mark.parametrize("shape,cout,groups,film", [
+    ((2, 3, 8, 8, 16), 16, 4, True),     # identity residual + FiLM
+    ((2, 3, 8, 8, 16), 32, 8, True),     # res_conv projection
+    ((1, 2, 4, 4, 24), 16, 8, False),    # no FiLM, tiny spatial
+    ((1, 5, 4, 8, 16), 16, 4, True),     # H != W
+])
+def test_bwd_kernel_matches_reference(shape, cout, groups, film):
+    """Dedicated backward kernel (interpret) vs reference autodiff on
+    EVERY gradient: dx + all weight/FiLM grads."""
+    assert pallas_resnet.backward_kernel_enabled()
+    cin = shape[-1]
+    p = make_params(jax.random.PRNGKey(3), cin, cout, film, res=cin != cout)
+    if p["film"] is not None and p["film"].shape[0] != shape[0]:
+        p["film"] = p["film"][: shape[0]]
+    x = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
+    names = [k for k in ("film", "w1", "b1", "g1s", "g1b", "w2", "b2",
+                         "g2s", "g2b", "wres", "bres")
+             if p[k] is not None]
+    # weight the output so the cotangent isn't uniform
+    gw = jax.random.normal(jax.random.PRNGKey(5),
+                           shape[:-1] + (cout,), jnp.float32)
+
+    def run(fn, x, args):
+        q = dict(p)
+        q.update(dict(zip(names, args)))
+        out = fn(x, q["w1"], q["b1"], q["g1s"], q["g1b"], q["film"],
+                 q["w2"], q["b2"], q["g2s"], q["g2b"], q["wres"],
+                 q["bres"], groups=groups,
+                 **({"interpret": True}
+                    if fn is pallas_resnet.fused_resnet_block else {}))
+        return jnp.sum(out * gw)
+
+    args = [p[k] for k in names]
+    gf = jax.grad(lambda x, a: run(pallas_resnet.fused_resnet_block, x, a),
+                  argnums=(0, 1))(x, args)
+    gr = jax.grad(lambda x, a: run(pallas_resnet.resnet_block_reference,
+                                   x, a), argnums=(0, 1))(x, args)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=2e-4, atol=2e-5, err_msg="dx")
+    for name, a, b in zip(names, gf[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_bwd_xla_fallback_env(monkeypatch):
+    """EXTDM_PALLAS_RESNET_BWD=0 restores the XLA-recompute backward."""
+    monkeypatch.setenv("EXTDM_PALLAS_RESNET_BWD", "0")
+    assert not pallas_resnet.backward_kernel_enabled()
+    B, T, H, W, c = 1, 2, 4, 4, 16
+    p = make_params(jax.random.PRNGKey(0), c, c, True, res=False)
+    p["film"] = p["film"][:B]
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, c),
+                          jnp.float32)
+
+    def loss(x):
+        return jnp.sum(pallas_resnet.fused_resnet_block(
+            x, p["w1"], p["b1"], p["g1s"], p["g1b"], p["film"], p["w2"],
+            p["b2"], p["g2s"], p["g2b"], groups=4, interpret=True) ** 2)
+
+    gx = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(gx)).all()
