@@ -50,6 +50,20 @@ class HDF5VideoStore:
         # datasets never change, and re-reading them per __getitem__ was
         # ~30% of item cost on the one-core host (see scripts/bench_loader).
         self._len_cache: dict = {}
+        # whole-video decoded uint8 RAM cache (OPT-IN via
+        # EXTDM_CLIP_CACHE_MB=<budget>): small stores fit in a few
+        # hundred MB and steady-state reads become pure numpy slices.
+        # Default OFF after a live A/B (round-3 evidence run, 1-core
+        # host, 16 loader threads): the first-touch full-video fills
+        # race across worker threads (up to n_workers duplicate reads of
+        # every video) and the measured step rate stayed ~0.30 s vs the
+        # uncached 0.21 s over the observed windows — the warmup tax
+        # never paid back within the run. read_frames returns views into
+        # cached arrays; every consumer copies via astype(float32).
+        self._video_cache: dict = {}
+        self._video_cache_bytes = 0
+        self._video_cache_budget = int(os.environ.get(
+            "EXTDM_CLIP_CACHE_MB", "0")) * 1024 * 1024
 
     @staticmethod
     def _shard_len(path: str) -> int:
@@ -94,17 +108,34 @@ class HDF5VideoStore:
         Dataset wrapper per frame was the top cost of the whole input
         pipeline (group.__getitem__, ~0.12 ms each on this host)."""
         shard_idx, key = self.get_indices(idx % self.total_num)
-        f = self._open(shard_idx)
         total = self._shard_video_len(shard_idx, key)
         stop = min(start + num, total)
+
+        ck = (shard_idx, key)
+        vid = self._video_cache.get(ck)
+        if vid is not None:
+            return vid[start:stop]
+
+        f = self._open(shard_idx)
         fid = f.id
-        frames = []
-        for i in range(start, stop):
-            did = h5py.h5d.open(fid, f"{key}/{i}".encode())
-            arr = np.empty(did.shape, dtype=did.dtype)
-            did.read(h5py.h5s.ALL, h5py.h5s.ALL, arr)
-            frames.append(arr)
-        return np.stack(frames)
+
+        def read_range(a, b):
+            frames = []
+            for i in range(a, b):
+                did = h5py.h5d.open(fid, f"{key}/{i}".encode())
+                arr = np.empty(did.shape, dtype=did.dtype)
+                did.read(h5py.h5s.ALL, h5py.h5s.ALL, arr)
+                frames.append(arr)
+            return np.stack(frames)
+
+        if self._video_cache_bytes < self._video_cache_budget:
+            vid = read_range(0, total)
+            # benign under the GIL: worst case two threads both read the
+            # same video once; accounting stays approximately right.
+            self._video_cache[ck] = vid
+            self._video_cache_bytes += vid.nbytes
+            return vid[start:stop]
+        return read_range(start, stop)
 
     def attr(self, name: str):
         """Read a top-level scalar dataset from shard 0 (UCF metadata)."""

@@ -30,18 +30,18 @@ timeout 3600 python scripts/train_dm.py --config configs/DM/shapes.yaml \
     --nan_guard 100 --bf16
 
 # 4. stage-2 DM phase 2: RESUME from the rolling checkpoint mid-run
-timeout 4200 python scripts/train_dm.py --config configs/DM/shapes.yaml \
+timeout 2700 python scripts/train_dm.py --config configs/DM/shapes.yaml \
     --root_dir "$ROOT" --log_dir "$RUN/dm" \
     --flowae_checkpoint "$RUN/ae/RegionMM.ckpt" \
     --checkpoint "$RUN/dm/flowdiff.ckpt" --set_start \
-    --max_steps 20000 --batch_size 16 --valid_every 2000 --valid_videos 16 \
-    --nan_guard 100 --bf16
+    --max_steps "${PHASE2_STEPS:-16000}" --batch_size 16 --valid_every 2000 \
+    --valid_videos 16 --nan_guard 100 --bf16
 
 # 5. autoregressive evaluation (best-of-n protocol)
-timeout 2400 python scripts/valid_dm.py --config configs/DM/shapes.yaml \
+timeout 1500 python scripts/valid_dm.py --config configs/DM/shapes.yaml \
     --root_dir "$ROOT" --log_dir "$RUN/valid" \
     --checkpoint "$RUN/dm/flowdiff.ckpt" \
     --flowae_checkpoint "$RUN/ae/RegionMM.ckpt" \
-    --num_sample_video 4 --total_videos 32 --batch_size 8
+    --num_sample_video 4 --total_videos 16 --batch_size 4
 
 echo EVIDENCE_RUN_DONE

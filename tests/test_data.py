@@ -241,3 +241,31 @@ class TestProcessLoader:
         loader = DataLoader(Bad(), 2, num_workers=2, worker_type="process")
         with pytest.raises(RuntimeError):
             list(loader)
+
+
+def test_video_ram_cache(tmp_path, monkeypatch):
+    """The whole-video RAM cache returns identical frames to direct
+    ranged reads, and EXTDM_CLIP_CACHE_MB=0 disables it."""
+    import numpy as np
+    from extdm_tpu.data.h5 import HDF5VideoStore, HDF5VideoWriter
+
+    rng = np.random.RandomState(0)
+    vids = [rng.randint(0, 255, (6, 8, 8), np.uint8) for _ in range(3)]
+    w = HDF5VideoWriter(str(tmp_path / "store"))
+    for v in vids:
+        w.add_video(v)
+    w.close()
+
+    monkeypatch.setenv("EXTDM_CLIP_CACHE_MB", "512")
+    ds = HDF5VideoStore(str(tmp_path / "store"))
+    got = ds.read_frames(1, 2, 3)
+    np.testing.assert_array_equal(np.asarray(got), vids[1][2:5])
+    assert ds._video_cache, "cache should be populated"
+    got2 = ds.read_frames(1, 0, 6)  # served from cache
+    np.testing.assert_array_equal(np.asarray(got2), vids[1])
+
+    monkeypatch.setenv("EXTDM_CLIP_CACHE_MB", "0")
+    ds2 = HDF5VideoStore(str(tmp_path / "store"))
+    got3 = ds2.read_frames(2, 1, 4)
+    np.testing.assert_array_equal(np.asarray(got3), vids[2][1:5])
+    assert not ds2._video_cache
