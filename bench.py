@@ -185,12 +185,16 @@ def main():
     fps = frames / elapsed
 
     # Second metric (train-step throughput) printed FIRST so the headline
-    # sampling line stays last for last-line JSON parsers; its key numbers
-    # are duplicated as fields of the headline line for first-line parsers.
+    # sampling line stays last for last-line JSON parsers. BOTH lines carry
+    # both metrics (the train line duplicates the headline sampling value,
+    # the headline duplicates the train values), so first-line and
+    # last-line parsers read the same story.
     train = None
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
             train = bench_train_step(iters)
+            train["sampling_frames_per_sec"] = round(fps, 2)
+            train["vs_baseline"] = round(fps / BASELINE_FRAMES_PER_SEC, 3)
             print(json.dumps(train))
         except Exception as e:  # never let the train metric sink the headline
             print(f"train bench failed: {e!r}", file=sys.stderr)

@@ -53,15 +53,17 @@ class HDF5VideoStore:
         # whole-video decoded uint8 RAM cache (OPT-IN via
         # EXTDM_CLIP_CACHE_MB=<budget>): small stores fit in a few
         # hundred MB and steady-state reads become pure numpy slices.
-        # Default OFF after a live A/B (round-3 evidence run, 1-core
-        # host, 16 loader threads): the first-touch full-video fills
-        # race across worker threads (up to n_workers duplicate reads of
-        # every video) and the measured step rate stayed ~0.30 s vs the
-        # uncached 0.21 s over the observed windows — the warmup tax
-        # never paid back within the run. read_frames returns views into
-        # cached arrays; every consumer copies via astype(float32).
+        # Fills are single-flight under a lock (the round-3 evidence run
+        # measured the unsynchronized first-touch fills duplicating every
+        # video read across loader threads — the warmup tax never paid
+        # back within that run); call prefill_cache() before step 0 to
+        # amortize the whole fill in one sequential pass. Cached arrays
+        # are frozen (writeable=False) so an accidental in-place consumer
+        # fails loudly instead of corrupting the cache; consumers copy
+        # via astype(float32).
         self._video_cache: dict = {}
         self._video_cache_bytes = 0
+        self._video_cache_lock = threading.Lock()
         self._video_cache_budget = int(os.environ.get(
             "EXTDM_CLIP_CACHE_MB", "0")) * 1024 * 1024
 
@@ -129,13 +131,62 @@ class HDF5VideoStore:
             return np.stack(frames)
 
         if self._video_cache_bytes < self._video_cache_budget:
-            vid = read_range(0, total)
-            # benign under the GIL: worst case two threads both read the
-            # same video once; accounting stays approximately right.
+            vid = self._cache_fill(ck, lambda: read_range(0, total))
+            if vid is not None:
+                return vid[start:stop]
+        return read_range(start, stop)
+
+    def _cache_fill(self, ck, read_fn) -> Optional[np.ndarray]:
+        """Single-flight cache insert: exactly one thread reads a given
+        video; losers of the race return the winner's frozen array.
+        Returns None when the budget filled up while waiting."""
+        with self._video_cache_lock:
+            vid = self._video_cache.get(ck)
+            if vid is not None:
+                return vid
+            if self._video_cache_bytes >= self._video_cache_budget:
+                return None
+            # reserve the key so concurrent callers wait on the fill
+            # instead of duplicating the read; the read itself happens
+            # outside the lock would allow parallel h5 reads, but on the
+            # 1-core host serial fills measured faster (no GIL churn)
+            # and keep the accounting exact.
+            vid = read_fn()
+            vid.flags.writeable = False
             self._video_cache[ck] = vid
             self._video_cache_bytes += vid.nbytes
-            return vid[start:stop]
-        return read_range(start, stop)
+            return vid
+
+    def prefill_cache(self, max_videos: Optional[int] = None) -> int:
+        """Single-flight sequential pre-fill of the RAM cache (budget-
+        bounded). Call once before step 0 so no training-step thread ever
+        pays a first-touch full-video read (round-3 evidence run: thread-
+        duplicated lazy fills kept the run host-bound). Returns the
+        number of videos cached."""
+        if self._video_cache_budget <= 0:
+            return 0
+        n = self.total_num if max_videos is None else min(max_videos, self.total_num)
+        filled = 0
+        for idx in range(n):
+            if self._video_cache_bytes >= self._video_cache_budget:
+                break
+            shard_idx, key = self.get_indices(idx)
+            total = self._shard_video_len(shard_idx, key)
+            f = self._open(shard_idx)
+            fid = f.id
+
+            def read_all():
+                frames = []
+                for i in range(total):
+                    did = h5py.h5d.open(fid, f"{key}/{i}".encode())
+                    arr = np.empty(did.shape, dtype=did.dtype)
+                    did.read(h5py.h5s.ALL, h5py.h5s.ALL, arr)
+                    frames.append(arr)
+                return np.stack(frames)
+
+            if self._cache_fill((shard_idx, key), read_all) is not None:
+                filled += 1
+        return filled
 
     def attr(self, name: str):
         """Read a top-level scalar dataset from shard 0 (UCF metadata)."""

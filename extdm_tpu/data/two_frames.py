@@ -110,6 +110,10 @@ class TwoFramesDataset:
             "id": index,
         }
 
+    def prefill_cache(self) -> int:
+        """Single-flight RAM-cache pre-fill (see HDF5VideoStore)."""
+        return self.store.prefill_cache()
+
 
 class DatasetRepeater:
     """Iterate the dataset num_repeats times per epoch (ref :221-234)."""
@@ -123,3 +127,6 @@ class DatasetRepeater:
 
     def __getitem__(self, idx):
         return self.dataset[idx % len(self.dataset)]
+
+    def prefill_cache(self) -> int:
+        return self.dataset.prefill_cache()

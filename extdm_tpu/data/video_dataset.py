@@ -42,6 +42,7 @@ class VideoDataset:
         random_time: bool = True,
         random_horizontal_flip: bool = False,
         seed: int = 0,
+        raw_uint8: bool = False,
     ):
         self.data_dir = data_dir
         self.type = type
@@ -50,6 +51,10 @@ class VideoDataset:
         self.total_videos = total_videos
         self.random_time = random_time
         self.random_horizontal_flip = random_horizontal_flip
+        # raw_uint8: return frames in the stored dtype/layout (no /255) so
+        # the loader can ship 1/4 the bytes to the device and the train
+        # step canonicalizes in-graph (see DMTrainer.canonicalize_video).
+        self.raw_uint8 = raw_uint8
         self.rng = np.random.RandomState(seed)
 
         self.is_ucf = "UCF" in data_dir
@@ -101,5 +106,11 @@ class VideoDataset:
             if self.random_horizontal_flip and self.rng.randint(2) == 0:
                 frames = frames[:, :, ::-1]
 
+        if self.raw_uint8 and np.issubdtype(frames.dtype, np.integer):
+            return np.ascontiguousarray(frames), video_index
         clip = frames.astype(np.float32) / 255.0
         return clip, video_index
+
+    def prefill_cache(self) -> int:
+        """Single-flight RAM-cache pre-fill (see HDF5VideoStore)."""
+        return self.store.prefill_cache()

@@ -144,11 +144,35 @@ def _softmax_scalar_max() -> bool:
     Kills the two masked row-max passes + the per-row broadcast subtract
     (measured 1.7 ms of the 13.7 ms plain S=32 STW layer,
     scripts/ab_stw_phase.py '-rowmax'). exp can't overflow (s - m <= 0);
-    underflow of a whole row's denominator needs a > ~104 score spread
-    inside one program block (f32 subnormal floor) — unreachable for
-    LN'd attention activations. EXTDM_SOFTMAX_SCALAR=0 restores the
-    per-row maxes."""
+    shifted scores are clamped at _SOFTMAX_CLAMP so a row sitting far
+    below the block max (e.g. a transient training logit spike) loses
+    precision instead of underflowing its denominator to a 0/0 NaN.
+    EXTDM_SOFTMAX_SCALAR=0 restores the per-row maxes."""
     return os.environ.get("EXTDM_SOFTMAX_SCALAR", "1") == "1"
+
+
+# Floor for the scalar-max shifted scores: a row whose own max sits this
+# far below the BLOCK max would otherwise underflow its entire f32
+# denominator to 0 (inf/NaN out) on a transient logit spike — the per-row
+# max guaranteed a 1.0 entry per row, the program scalar does not.
+# exp(-80) ~= 1.8e-35 is still a normal f32, so clamping keeps every
+# denominator nonzero: such rows lose precision (toward uniform) instead
+# of NaN-ing the step, and in the backward kernels their (near-zero)
+# probabilities contribute ~nothing to the weight grads.
+_SOFTMAX_CLAMP = -80.0
+
+
+def _scalar_shift(s):
+    """Shift scores by the program-scalar max, clamped (see above)."""
+    return jnp.maximum(s - jax.lax.stop_gradient(jnp.max(s)), _SOFTMAX_CLAMP)
+
+
+def _shifted(s):
+    """Score shift before exp: clamped program-scalar max (fast path) or
+    exact per-row max (EXTDM_SOFTMAX_SCALAR=0)."""
+    if _softmax_scalar_max():
+        return _scalar_shift(s)
+    return s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
 
 
 def _softmax_lane_halves_parts(s, n: int, ablate):
@@ -165,7 +189,7 @@ def _softmax_lane_halves_parts(s, n: int, ablate):
     half = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) < n
     if "softmax_max" not in ablate:
         if _softmax_scalar_max():
-            s = s - jax.lax.stop_gradient(jnp.max(s))
+            s = _scalar_shift(s)
         else:
             m1 = jnp.max(jnp.where(half, s, -1e30), axis=-1, keepdims=True)
             m2 = jnp.max(jnp.where(half, -1e30, s), axis=-1, keepdims=True)
@@ -458,9 +482,7 @@ def _make_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 recip = None
                 if "softmax" not in ablate:
                     if "softmax_max" not in ablate:
-                        m = (jnp.max(s) if _softmax_scalar_max()
-                             else s.max(axis=-1, keepdims=True))
-                        s = s - jax.lax.stop_gradient(m)
+                        s = _shifted(s)
                     s = jnp.exp(s)
                     recip = 1.0 / s.sum(axis=-1, keepdims=True)
                 op = jax.lax.dot_general(
@@ -687,9 +709,7 @@ def _make_kernel_wm(G: int, N: int, C: int, heads: int, dim_head: int,
             s = s + bias_ref[hd].astype(f32)[None]
             if M:
                 s = s + mask_add
-            m = (jnp.max(s) if _softmax_scalar_max()
-                 else s.max(axis=-1, keepdims=True))
-            s = s - jax.lax.stop_gradient(m)
+            s = _shifted(s)
             e = jnp.exp(s)
             s = e / e.sum(axis=-1, keepdims=True)
             outs.append(jax.lax.dot_general(
@@ -880,7 +900,7 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (W8, N, 2 * dim_head), 2)
                 if _softmax_scalar_max():
-                    e = jnp.exp(s - jnp.max(s))
+                    e = jnp.exp(_scalar_shift(s))
                 else:
                     m1 = jnp.max(jnp.where(half_m, s, -1e30), -1,
                                  keepdims=True)
@@ -940,8 +960,7 @@ def _make_stw_bwd_kernel(KT: int, wd: int, wh: int, ww: int, Wp: int, C: int,
                 s = s + bias_ref[hd].astype(f32)[None]
                 if M:
                     s = s + mask_add
-                s = s - (jnp.max(s) if _softmax_scalar_max()
-                         else s.max(axis=-1, keepdims=True))
+                s = _shifted(s)
                 e = jnp.exp(s)
                 p = e / e.sum(axis=-1, keepdims=True)
                 ps.append(p)
@@ -1456,9 +1475,7 @@ def _make_temporal_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 recip = None
                 if "softmax" not in ablate:
                     if "softmax_max" not in ablate:
-                        m = (jnp.max(s) if _softmax_scalar_max()
-                             else s.max(axis=-1, keepdims=True))
-                        s = s - jax.lax.stop_gradient(m)
+                        s = _shifted(s)
                     s = jnp.exp(s)
                     recip = 1.0 / s.sum(axis=-1, keepdims=True)
                 op = jax.lax.dot_general(
@@ -1738,8 +1755,7 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                 preferred_element_type=f32,
             )
             s = s + bias_ref[hd].astype(f32)[None]
-            s = s - (jnp.max(s) if _softmax_scalar_max()
-                     else s.max(axis=-1, keepdims=True))
+            s = _shifted(s)
             e = jnp.exp(s)
             return e / e.sum(axis=-1, keepdims=True)
 
@@ -1778,7 +1794,7 @@ def _make_temporal_bwd_kernel(T: int, HR: int, Wd: int, C: int, heads: int,
                     lane_m = jax.lax.broadcasted_iota(
                         jnp.int32, (s.shape[0], NB, 2 * dim_head), 2)
                 if _softmax_scalar_max():
-                    e = jnp.exp(s - jnp.max(s))
+                    e = jnp.exp(_scalar_shift(s))
                 else:
                     m1 = jnp.max(jnp.where(half_m, s, -1e30), -1,
                                  keepdims=True)

@@ -22,6 +22,22 @@ from extdm_tpu.models.dm.flow_diffusion import FlowDiffusion
 from extdm_tpu.train.lr_schedule import multi_step
 
 
+def canonicalize_video(video: jnp.ndarray) -> jnp.ndarray:
+    """In-graph equivalent of host-side `/255` + `to_rgb_video` for raw
+    uint8 batches (data/video_dataset.py:17-31): the loader ships the
+    stored uint8 layout — (B, T, H, W) gray or (B, T, H, W, 1|3) — at
+    1/12th (gray) the f32-RGB bytes through the host->device tunnel, and
+    the cast/broadcast happen on device. Float inputs pass through
+    untouched (the classic host-canonicalized path)."""
+    if jnp.issubdtype(video.dtype, jnp.integer):
+        video = video.astype(jnp.float32) / 255.0
+    if video.ndim == 4:
+        video = video[..., None]
+    if video.shape[-1] == 1:
+        video = jnp.repeat(video, 3, axis=-1)
+    return video
+
+
 @struct.dataclass
 class DMTrainState:
     step: jnp.ndarray
@@ -75,7 +91,9 @@ class DMTrainer:
         key: jax.Array,
         video: jnp.ndarray,
     ) -> Tuple[DMTrainState, Dict[str, jnp.ndarray]]:
-        """video: (B, tc+tp, H, W, C) in [0,1]. Pure function — jit/pjit me."""
+        """video: (B, tc+tp, H, W, C) in [0,1], or raw uint8 in the stored
+        layout (canonicalized in-graph). Pure function — jit/pjit me."""
+        video = canonicalize_video(video)
 
         def loss_fn(params):
             loss, aux = self.fd.loss(
@@ -107,6 +125,7 @@ class DMTrainer:
         data = P("data")
 
         def local_step(state, lfae_variables, key, video):
+            video = canonicalize_video(video)
             # decorrelate per-shard diffusion timesteps / noise
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
 

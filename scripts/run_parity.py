@@ -142,6 +142,8 @@ def parse_metrics(path: str) -> dict:
             out["i3d_pretrained"] = m.group(1) == "True"
         elif m := re.match(r"lpips_pretrained: (\w+)", line):
             out["lpips_pretrained"] = m.group(1) == "True"
+        elif m := re.match(r"sampling_frames_per_sec: ([\d.eE+-]+)", line):
+            out["sampling_frames_per_sec"] = float(m.group(1))
     return out
 
 
@@ -332,19 +334,36 @@ def main():
         "tolerance": args.tolerance,
         "dryrun": args.dryrun,
     }
+    if "sampling_frames_per_sec" in m:
+        verdict["sampling_frames_per_sec"] = m["sampling_frames_per_sec"]
     if fvd is None or not m.get("i3d_pretrained", False):
         verdict["parity"] = None
+        verdict["fvd_rel_err"] = None
         verdict["reason"] = ("FVD missing or computed with a random-init I3D "
                              "— not comparable to the published baseline")
     else:
         rel = abs(fvd - args.baseline_fvd) / args.baseline_fvd
         verdict["fvd_rel_err"] = rel
         verdict["parity"] = bool(rel <= args.tolerance or fvd < args.baseline_fvd)
+        # Beating the baseline by MORE than the tolerance with reference
+        # weights more likely signals eval-protocol drift than a better
+        # model (ref protocol: scripts/DM/valid.py:199-252) — keep parity
+        # true but flag it loudly for a human to check.
+        suspicious = bool(fvd < args.baseline_fvd and rel > args.tolerance)
         if args.baseline_lpips is not None and "lpips2" in m:
             rel_lp = abs(m["lpips2"] - args.baseline_lpips) / args.baseline_lpips
             verdict["lpips_rel_err"] = rel_lp
             verdict["parity"] = bool(verdict["parity"] and (
                 rel_lp <= args.tolerance or m["lpips2"] < args.baseline_lpips))
+            suspicious = suspicious or bool(
+                m["lpips2"] < args.baseline_lpips and rel_lp > args.tolerance)
+        verdict["suspicious_improvement"] = suspicious
+        if suspicious:
+            print("WARNING: metrics beat the baseline by more than the "
+                  f"tolerance (fvd_rel_err={rel:.3f} > {args.tolerance}); "
+                  "with reference weights this usually means evaluation-"
+                  "protocol drift, not a better model — check the valid "
+                  "protocol before trusting this parity verdict.")
     with open(os.path.join(args.out_dir, "verdict.json"), "w") as f:
         json.dump(verdict, f, indent=2)
     print(json.dumps(verdict))

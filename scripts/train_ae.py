@@ -152,6 +152,12 @@ def main():
         seed=args.seed,
     )
     dataset = DatasetRepeater(dataset, tp.get("num_repeats", 1))
+    if int(os.environ.get("EXTDM_CLIP_CACHE_MB", "0")):
+        import time as _time
+        _t0 = _time.perf_counter()
+        _n = dataset.prefill_cache()
+        print(f"clip cache prefilled: {_n} videos in "
+              f"{_time.perf_counter() - _t0:.1f}s")
     mesh = make_data_mesh(batch_size)
     print(f"mesh: {dict(mesh.shape)}")
 
@@ -164,7 +170,7 @@ def main():
 
     loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
                         seed=args.seed, worker_type=args.loader,
-                        device_put=_to_device)
+                        prefetch=3, device_put=_to_device)
 
     model = ReconstructionModel(train=True,
                                 dtype=jnp.bfloat16 if args.bf16 else None,

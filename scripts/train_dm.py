@@ -202,19 +202,34 @@ def main():
     num_frames = fd_cfg.cond_frames + fd_cfg.pred_frames
     dataset = VideoDataset(dp["root_dir"], type=dp["train_params"]["type"],
                            num_frames=num_frames, image_size=dp["frame_shape"],
-                           seed=args.seed)
+                           seed=args.seed, raw_uint8=True)
+    if int(os.environ.get("EXTDM_CLIP_CACHE_MB", "0")):
+        import time as _time
+        _t0 = _time.perf_counter()
+        _n = dataset.prefill_cache()
+        print(f"clip cache prefilled: {_n} videos in "
+              f"{_time.perf_counter() - _t0:.1f}s "
+              f"({dataset.store._video_cache_bytes / 1e6:.0f} MB)")
 
     def _to_device(batch):
-        """Runs in the loader's producer thread: layout canonicalization +
-        the host->device transfer overlap the previous device step instead
-        of serializing after it (round-2 runs spent 44% of step time here)."""
+        """Runs in the loader's producer thread: stacking + the
+        host->device transfer overlap the previous device step instead of
+        serializing after it. Batches ship as raw uint8 in the stored
+        layout (1/12th the f32-RGB bytes through the tunnel for gray
+        stores); the train step canonicalizes in-graph
+        (dm_trainer.canonicalize_video). Float clips (non-integer stores)
+        keep the host to_rgb_video path."""
         clips, idx = batch
-        video = np.stack([to_rgb_video(c) for c in clips])
+        if clips[0].dtype == np.uint8 and (
+                clips[0].ndim == 3 or clips[0].shape[-1] in (1, 3)):
+            video = np.stack(clips)
+        else:
+            video = np.stack([to_rgb_video(c) for c in clips])
         return shard_batch(jnp.asarray(video), mesh), idx
 
     loader = DataLoader(dataset, batch_size, num_workers=tp.get("dataloader_workers", 8),
                         seed=args.seed, worker_type=args.loader,
-                        device_put=_to_device)
+                        prefetch=3, device_put=_to_device)
 
     sched = tp["scheduler_param"]
     trainer = DMTrainer(fd, make_optimizer(tp["lr"], sched["milestones"],
@@ -253,11 +268,15 @@ def main():
 
         if monitor is None:
             monitor = fd.make_monitor()
-        sub = video_dev[:1]  # panels render batch element 0 only
+        # panels render batch element 0 only; raw uint8 batches are
+        # canonicalized host-side here (monitor/panels want f32 RGB)
+        sub_np = np.asarray(video_dev[:1])
+        if np.issubdtype(sub_np.dtype, np.integer):
+            sub_np = sub_np.astype(np.float32) / 255.0
+        video_np = np.stack([to_rgb_video(c) for c in sub_np])
         ret = monitor(lfae_vars, {"params": state.unet_params},
-                      jax.random.fold_in(root_key, step), sub)
+                      jax.random.fold_in(root_key, step), jnp.asarray(video_np))
         ret = {k: None if v is None else np.asarray(v) for k, v in ret.items()}
-        video_np = np.asarray(sub)
         tag = f"B{batch_size:04d}_S{step:06d}"
         if want_img:
             save_image(os.path.join(args.log_dir, "imgshots", f"{tag}.png"),

@@ -142,6 +142,11 @@ def main():
     real_all, sample_all = [], []
     flow_dump = None
     pred_flows_all = []  # trajectory-0 predicted warp grids per video
+    # sampling throughput, measured on this hardware during the eval so
+    # accuracy parity and the frames/s/chip north star land in one
+    # artifact (first call excluded: compile)
+    import time as _time
+    sample_calls, sample_secs, sample_frames = 0, 0.0, 0
     for clips, _ in loader:
         video = np.stack([to_rgb_video(c) for c in clips])  # (B, T, H, W, 3)
         B = video.shape[0]
@@ -151,8 +156,14 @@ def main():
         preds, pred_grids = [], []
         for r in range(num_autoreg):
             key = jax.random.fold_in(root_key, len(real_all) * 1000 + r)
+            _t0 = _time.perf_counter()
             out = sample_fn(key, jnp.asarray(cond))
             pred_pixels = np.asarray(out["sample_out_vid"][:, tc:])
+            _dt = _time.perf_counter() - _t0  # asarray above = true host sync
+            sample_calls += 1
+            if sample_calls > 1:  # first call pays the compile
+                sample_secs += _dt
+                sample_frames += int(np.prod(pred_pixels.shape[:2]))
             preds.append(pred_pixels)
             if args.dump_arrays and args.dump_flow:
                 pred_grids.append(np.asarray(out["sample_vid_grid"][::n_traj, tc:]))
@@ -168,6 +179,15 @@ def main():
         if args.dump_flow and flow_dump is None:
             flow_dump = {k: np.asarray(v) for k, v in out.items()
                          if v is not None and k.endswith(("grid", "conf"))}
+
+    if sample_calls == 1:
+        # only one sampler call happened (tiny evals) and it paid the
+        # compile — re-run it warm so the throughput line still lands
+        _t0 = _time.perf_counter()
+        _out = sample_fn(jax.random.fold_in(root_key, 10**6), jnp.asarray(cond))
+        _pred = np.asarray(_out["sample_out_vid"][:, tc:])
+        sample_secs = _time.perf_counter() - _t0
+        sample_frames = int(np.prod(_pred.shape[:2]))
 
     real = np.concatenate(real_all)  # (N, tc+tp, H, W, 3)
     samples = np.concatenate(sample_all)  # (N*n_traj, tc+tp, H, W, 3)
@@ -225,6 +245,9 @@ def main():
             f"lpips2 (best-of-{n_traj}): {lpips2:.4f}",
             f"lpips_pretrained: {lpips_m.pretrained}",
         ]
+    if sample_secs > 0:
+        lines.append(
+            f"sampling_frames_per_sec: {sample_frames / sample_secs:.2f}")
     print("\n".join(lines))
     with open(os.path.join(args.log_dir, "metrics.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")

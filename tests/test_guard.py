@@ -48,3 +48,28 @@ def test_no_guard_returns_none_counter():
     trainer = DMTrainer(fd, make_optimizer(1e-4, [100], 0.5))
     state = trainer.init_state(unet_vars)
     assert notfinite_count(state.opt_state) is None
+
+
+def test_canonicalize_video_uint8_matches_host_path():
+    """In-graph uint8 canonicalization == host /255 + to_rgb_video for
+    every stored layout the loader ships raw (dm_trainer.canonicalize_video;
+    ref dataset2video layout contract, data/video_dataset.py:17-33)."""
+    import numpy as np
+
+    from extdm_tpu.data import to_rgb_video
+    from extdm_tpu.train.dm_trainer import canonicalize_video
+
+    rs = np.random.RandomState(0)
+    gray = rs.randint(0, 256, (2, 3, 8, 8), np.uint8)        # (B,T,H,W)
+    chan1 = rs.randint(0, 256, (2, 3, 8, 8, 1), np.uint8)    # (B,T,H,W,1)
+    rgb = rs.randint(0, 256, (2, 3, 8, 8, 3), np.uint8)      # (B,T,H,W,3)
+    for raw in (gray, chan1, rgb):
+        dev = np.asarray(canonicalize_video(jnp.asarray(raw)))
+        host = np.stack([to_rgb_video(c.astype(np.float32) / 255.0)
+                         for c in raw])
+        np.testing.assert_allclose(dev, host, atol=1e-7)
+        assert dev.shape[-1] == 3 and dev.dtype == np.float32
+    # float inputs pass through untouched
+    f = jnp.asarray(rs.rand(2, 3, 8, 8, 3), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(canonicalize_video(f)),
+                                  np.asarray(f))

@@ -497,3 +497,26 @@ class TestHeadPackAB:
         for a, b in zip(ref, out):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_scalar_softmax_clamp_survives_logit_spike(monkeypatch):
+    """A row whose own max sits far below the program-scalar max must
+    degrade gracefully (toward uniform) instead of underflowing its whole
+    denominator to 0 -> inf/NaN (ADVICE r3: a transient training logit
+    spike would otherwise NaN the step)."""
+    monkeypatch.setenv("EXTDM_SOFTMAX_SCALAR", "1")
+    # packed layout: (rows, 2N); row 0 carries a +500 spike so every other
+    # row's scores sit ~500 below the block max
+    N = 8
+    s = jnp.zeros((4, 2 * N)).at[0, 0].set(500.0)
+    e, r1, r2 = pallas_stw._softmax_lane_halves_parts(s, N, ablate=())
+    p = e * jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, e.shape, 1) < N, r1, r2)
+    assert bool(jnp.all(jnp.isfinite(p)))
+    # un-spiked rows stay (near-)uniform within each half
+    np.testing.assert_allclose(np.asarray(p[1, :N]), 1.0 / N, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(p[1, N:]), 1.0 / N, rtol=1e-3)
+    # plain per-row variant helper too
+    sh = pallas_stw._shifted(jnp.zeros((4, N)).at[0, 0].set(500.0))
+    p2 = jnp.exp(sh) / jnp.exp(sh).sum(-1, keepdims=True)
+    assert bool(jnp.all(jnp.isfinite(p2)))

@@ -239,6 +239,13 @@ def test_run_parity_dryrun(tmp_path):
     assert v["metrics"]["i3d_pretrained"] is True  # converted blob was USED
     assert v["metrics"]["lpips_pretrained"] is True
     assert "fvd_traj" in v["metrics"] and "lpips2" in v["metrics"]
+    # verdict semantics (VERDICT r3 #6): fvd_rel_err always present,
+    # suspicious-improvement flagged whenever parity is comparable, and
+    # the eval's own sampling throughput lands in the same artifact
+    assert "fvd_rel_err" in v
+    if v["parity"] is not None:
+        assert "suspicious_improvement" in v
+    assert "sampling_frames_per_sec" in v
     # the torch blobs went through the REAL convert path (the AE/DM ckpts
     # are already msgpack in dryrun and pass through untouched)
     conv = os.path.join(out, "converted")
