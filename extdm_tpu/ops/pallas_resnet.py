@@ -79,6 +79,13 @@ def backward_kernel_enabled() -> bool:
     return os.environ.get("EXTDM_PALLAS_RESNET_BWD", "1") == "1"
 
 
+def chunked_backward_enabled() -> bool:
+    """Decomposed big-S backward (conv kernels + XLA elementwise; VERDICT
+    r3 #4). EXTDM_PALLAS_RESNET_CHUNKED=0 restores the round-3 routing
+    (big-S training blocks pure XLA end to end)."""
+    return os.environ.get("EXTDM_PALLAS_RESNET_CHUNKED", "1") == "1"
+
+
 _TRAIN_TRACE = False
 
 
@@ -102,8 +109,11 @@ def route(shape, cin: int, cout: int, groups: int) -> bool:
     if not (enabled() and supported(shape, cin, cout, groups)):
         return False
     if _TRAIN_TRACE:
-        return backward_kernel_enabled() and _bwd_supported(
-            shape, cin, cout, groups)
+        if not backward_kernel_enabled():
+            return False
+        return _bwd_supported(shape, cin, cout, groups) or (
+            chunked_backward_enabled()
+            and _chunked_bwd_supported(shape, cin, cout, groups))
     return True
 
 
@@ -332,7 +342,8 @@ def _bwd_supported(shape, cin: int, cout: int, groups: int) -> bool:
     taps and only the GN reductions couple them — future work.)"""
     B, T, H, W, C = shape
     S = T * H * W
-    if S % 8 or cout % groups or C != cin:
+    del C  # always == cin at the call sites (x.shape[-1])
+    if S % 8 or cout % groups:
         return False
     est = 3 * S * (2 * cin + 2 * cout + 4 * cout * 6)
     return est <= 0.7 * pallas_stw._vmem_limit_bytes()
@@ -611,6 +622,285 @@ def _bwd_kernel_impl(x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
     return dx, dw1, db1, dg1s, dg1b, dfilm, dw2, db2, dg2s, dg2b, dwr, dbr
 
 
+# ---------------------------------------------- decomposed big-S backward
+#
+# The whole-sample backward kernel above keeps ~17 S-row intermediates
+# live and spills VMEM at the flagship S=30720 blocks (see _bwd_supported).
+# For those shapes the backward is instead DECOMPOSED (VERDICT r3 #4):
+# the convs run as dedicated pallas kernels with small live sets (conv
+# fwd: ~4 S-row arrays; conv bwd: din/md accumulators + dW), and the
+# GN/FiLM/SiLU elementwise chains + all gmean reductions run in XLA,
+# which streams them. Frames are conv-independent for the (1,3,3) taps,
+# so a (B, nT) grid chunks T exactly when even one conv's live set
+# outgrows VMEM; only the GN reductions couple T and they live in XLA.
+
+
+def _chunk_t(T: int, H: int, W: int, cin: int, cout: int) -> int:
+    """Frames per conv-kernel program: largest divisor of T whose conv
+    live set (~x + f32 acc + f32 z + out rows) fits the scoped cap."""
+    per_row = 2 * cin + 4 * cout + 4 * cout + 2 * cout
+    cap = 0.7 * pallas_stw._vmem_limit_bytes()
+    best = 0
+    for tc in range(1, T + 1):
+        if T % tc:
+            continue
+        if tc * H * W * per_row <= cap:
+            best = tc
+    return best
+
+
+def _chunked_bwd_supported(shape, cin: int, cout: int, groups: int) -> bool:
+    B, T, H, W, _ = shape
+    if (T * H * W) % 8 or cout % groups:
+        return False
+    return _chunk_t(T, H, W, cin, cout) > 0
+
+
+def _conv33_fwd_kernel(S, Cin, Cout, Hd, Wd, hi_prec, out_dtype):
+    """(1,3,3) conv as 9 shifted matmuls over an (S, Cin) slab — the
+    forward kernel's conv helper, standalone (one program per (b, t-chunk),
+    chunks cover whole frames so the roll+edge-mask logic is exact)."""
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if hi_prec else None
+    pltpu = pallas_stw.pltpu
+
+    def kernel(x_ref, w_ref, b_ref, o_ref):
+        x = x_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        w_pos = jax.lax.rem(rows, Wd)
+        h_pos = jax.lax.rem(rows // Wd, Hd)
+        acc = jnp.broadcast_to(b_ref[:].astype(f32), (S, Cout))
+        for i, (dy, dx) in enumerate(
+                (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)):
+            z = jax.lax.dot_general(
+                x, w_ref[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            off = dy * Wd + dx
+            if off:
+                z = pltpu.roll(z, (-off) % S, axis=0)
+            m = None
+            if dx == -1:
+                m = w_pos >= 1
+            elif dx == 1:
+                m = w_pos <= Wd - 2
+            if dy == -1:
+                hm = h_pos >= 1
+                m = hm if m is None else jnp.logical_and(m, hm)
+            elif dy == 1:
+                hm = h_pos <= Hd - 2
+                m = hm if m is None else jnp.logical_and(m, hm)
+            if m is not None:
+                z = jnp.where(m, z, jnp.zeros_like(z))
+            acc = acc + z
+        o_ref[0] = acc.astype(out_dtype)
+
+    return kernel
+
+
+def _conv33_bwd_kernel(S, Cin, Cout, Hd, Wd, hi_prec, x_dtype):
+    """din = conv_bwd_input(da) and dW accumulated across the sequential
+    grid into revisited constant-index blocks."""
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if hi_prec else None
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+    TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def kernel(da_ref, ain_ref, w_ref, din_ref, dw_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():  # noqa: ANN202
+            dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+        da = da_ref[0].astype(f32)
+        a_in = ain_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        w_pos = jax.lax.rem(rows, Wd)
+        h_pos = jax.lax.rem(rows // Wd, Hd)
+        din = jnp.zeros((S, Cin), f32)
+        for i, (dy, dx) in enumerate(TAPS):
+            m = None
+            if dx == -1:
+                m = w_pos >= 1
+            elif dx == 1:
+                m = w_pos <= Wd - 2
+            if dy == -1:
+                hm = h_pos >= 1
+                m = hm if m is None else jnp.logical_and(m, hm)
+            elif dy == 1:
+                hm = h_pos <= Hd - 2
+                m = hm if m is None else jnp.logical_and(m, hm)
+            md = da if m is None else jnp.where(m, da, jnp.zeros_like(da))
+            off = dy * Wd + dx
+            if off:
+                md = pltpu.roll(md, off % S, axis=0)
+            md_c = md.astype(a_in.dtype)
+            din = din + jax.lax.dot_general(
+                md_c, w_ref[i], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            dw_ref[i] += jax.lax.dot_general(
+                a_in, md_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=prec).astype(dw_ref.dtype)
+        din_ref[0] = din.astype(din_ref.dtype)
+
+    return kernel
+
+
+def _conv33_fwd(x, w, b, interpret=False):
+    """x: (B, T, H, W, Cin) compute dtype; w: (9, Cin, Cout) tap-major;
+    returns f32 (B, T, H, W, Cout) = conv(1,3,3)(x) + b."""
+    pallas_stw._ensure_pallas()
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+    B, T, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    tc = _chunk_t(T, H, W, Cin, Cout)
+    nT = T // tc
+    S = tc * H * W
+    xs = x.reshape(B * nT, S, Cin)
+    const = lambda shape: pl.BlockSpec(shape, lambda g: tuple(0 for _ in shape))
+    perg = lambda shape: pl.BlockSpec(shape, lambda g: (g,) + (0,) * (len(shape) - 1))
+    out = pl.pallas_call(
+        _conv33_fwd_kernel(S, Cin, Cout, H, W, x.dtype == jnp.float32,
+                           jnp.float32),
+        grid=(B * nT,),
+        in_specs=[perg((1, S, Cin)), const((9, Cin, Cout)), const((1, Cout))],
+        out_specs=perg((1, S, Cout)),
+        out_shape=jax.ShapeDtypeStruct((B * nT, S, Cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=pallas_stw._vmem_limit_bytes()),
+        interpret=interpret,
+    )(xs, w.astype(x.dtype), b.reshape(1, Cout).astype(jnp.float32))
+    return out.reshape(B, T, H, W, Cout)
+
+
+def _conv33_bwd(da, a_in, w, interpret=False):
+    """da: (B, T, H, W, Cout) f32 output grad; a_in: conv input (compute
+    dtype). Returns (din f32, dw (9, Cin, Cout) f32)."""
+    pallas_stw._ensure_pallas()
+    pl = pallas_stw.pl
+    pltpu = pallas_stw.pltpu
+    B, T, H, W, Cin = a_in.shape
+    Cout = w.shape[-1]
+    tc = _chunk_t(T, H, W, Cin, Cout)
+    nT = T // tc
+    S = tc * H * W
+    das = da.reshape(B * nT, S, Cout).astype(a_in.dtype)
+    ains = a_in.reshape(B * nT, S, Cin)
+    const = lambda shape: pl.BlockSpec(shape, lambda g: tuple(0 for _ in shape))
+    perg = lambda shape: pl.BlockSpec(shape, lambda g: (g,) + (0,) * (len(shape) - 1))
+    din, dw = pl.pallas_call(
+        _conv33_bwd_kernel(S, Cin, Cout, H, W, a_in.dtype == jnp.float32,
+                           a_in.dtype),
+        grid=(B * nT,),
+        in_specs=[perg((1, S, Cout)), perg((1, S, Cin)),
+                  const((9, Cin, Cout))],
+        out_specs=[perg((1, S, Cin)), const((9, Cin, Cout))],
+        out_shape=[jax.ShapeDtypeStruct((B * nT, S, Cin), jnp.float32),
+                   jax.ShapeDtypeStruct((9, Cin, Cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pallas_stw._vmem_limit_bytes()),
+        interpret=interpret,
+    )(das, ains, w.astype(a_in.dtype))
+    return din.reshape(B, T, H, W, Cin), dw
+
+
+def _gn_stats_xla(a, groups, eps):
+    """Group mean/rstd from an f32 (B, T, H, W, C) conv output."""
+    B, T, H, W, C = a.shape
+    cg = C // groups
+    g = a.reshape(B, T * H * W, groups, cg)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = ((g - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    rep = lambda t: jnp.repeat(t.reshape(B, 1, groups), cg, axis=-1
+                               ).reshape(B, 1, 1, 1, C)
+    return rep(mean), rep(jax.lax.rsqrt(var + eps))
+
+
+def _gmean_xla(t, groups):
+    """Per-(b, group) mean broadcast back to channels; t: (B,T,H,W,C) f32."""
+    B, T, H, W, C = t.shape
+    cg = C // groups
+    m = t.reshape(B, T * H * W, groups, cg).mean(axis=(1, 3))
+    return jnp.repeat(m.reshape(B, 1, groups), cg, axis=-1
+                      ).reshape(B, 1, 1, 1, C)
+
+
+def _chunked_bwd(x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres,
+                 bres, groups, eps, interpret):
+    """Decomposed backward for shapes whose whole-sample kernel spills
+    VMEM: conv kernels (pallas) + GN/FiLM/SiLU math and reductions (XLA).
+    Exactly the gradients of resnet_block_reference."""
+    f32 = jnp.float32
+    dtype = x.dtype
+    Cout = w1.shape[-1]
+    w1c = w1.reshape(9, x.shape[-1], Cout)
+    w2c = w2.reshape(9, Cout, Cout)
+
+    # ---- recompute forward (conv kernels + XLA elementwise) ------------
+    a1 = _conv33_fwd(x, w1c, b1, interpret)                       # f32
+    mean1, rstd1 = _gn_stats_xla(a1, groups, eps)
+    n1 = (a1 - mean1) * rstd1
+    y1 = n1 * g1s.astype(f32) + g1b.astype(f32)
+    if film is not None:
+        fs, fb = jnp.split(film.astype(f32), 2, axis=-1)
+        fs = fs[:, None, None, None, :]
+        fb = fb[:, None, None, None, :]
+        y1f = y1 * (fs + 1.0) + fb
+    else:
+        y1f = y1
+    sig1 = jax.nn.sigmoid(y1f)
+    h1c = (y1f * sig1).astype(dtype)
+    a2 = _conv33_fwd(h1c, w2c, b2, interpret)
+    mean2, rstd2 = _gn_stats_xla(a2, groups, eps)
+    n2 = (a2 - mean2) * rstd2
+
+    # ---- backward ------------------------------------------------------
+    gf = g.astype(f32)
+    y2 = n2 * g2s.astype(f32) + g2b.astype(f32)
+    sig2 = jax.nn.sigmoid(y2)
+    dy2 = gf * (sig2 * (1.0 + y2 * (1.0 - sig2)))
+    dg2s = jnp.sum(dy2 * n2, axis=(0, 1, 2, 3))
+    dg2b = jnp.sum(dy2, axis=(0, 1, 2, 3))
+    dn2 = dy2 * g2s.astype(f32)
+    da2 = rstd2 * (dn2 - _gmean_xla(dn2, groups)
+                   - n2 * _gmean_xla(dn2 * n2, groups))
+    db2 = jnp.sum(da2, axis=(0, 1, 2, 3))
+    dh1, dw2 = _conv33_bwd(da2, h1c, w2c, interpret)
+
+    dy1f = dh1 * (sig1 * (1.0 + y1f * (1.0 - sig1)))
+    if film is not None:
+        dfs = jnp.sum(dy1f * y1, axis=(1, 2, 3))
+        dfb = jnp.sum(dy1f, axis=(1, 2, 3))
+        dfilm = jnp.concatenate([dfs, dfb], axis=-1)
+        dy1 = dy1f * (fs + 1.0)
+    else:
+        dfilm = None
+        dy1 = dy1f
+    dg1s = jnp.sum(dy1 * n1, axis=(0, 1, 2, 3))
+    dg1b = jnp.sum(dy1, axis=(0, 1, 2, 3))
+    dn1 = dy1 * g1s.astype(f32)
+    da1 = rstd1 * (dn1 - _gmean_xla(dn1, groups)
+                   - n1 * _gmean_xla(dn1 * n1, groups))
+    db1 = jnp.sum(da1, axis=(0, 1, 2, 3))
+    dxc, dw1 = _conv33_bwd(da1, x, w1c, interpret)
+
+    if wres is not None:
+        gc = g.astype(dtype)
+        dx = dxc + jnp.einsum("bthwd,cd->bthwc", gc,
+                              wres.astype(dtype)).astype(f32)
+        dwr = jnp.einsum("bthwc,bthwd->cd", x.astype(dtype), gc)
+        dbr = jnp.sum(gf, axis=(0, 1, 2, 3))
+    else:
+        dx = dxc + gf
+        dwr, dbr = None, None
+    return (dx, dw1, db1, dg1s, dg1b, dfilm, dw2, db2, dg2s, dg2b,
+            dwr, dbr)
+
+
 # ------------------------------------------------------------- custom_vjp
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
 def _fused(x, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
@@ -636,6 +926,22 @@ def _fused_bwd(groups, eps, interpret, res, g):
         (dx, dw1, db1, dg1s, dg1b, dfilm, dw2, db2, dg2s, dg2b,
          dwr, dbr) = _bwd_kernel_impl(
             x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b, wres, bres,
+            groups, eps, interpret)
+        cast = lambda t, p: t.reshape(p.shape).astype(p.dtype)
+        return (cast(dx, x), cast(dw1, w1), cast(db1, b1),
+                cast(dg1s, g1s), cast(dg1b, g1b),
+                cast(dfilm, film) if has_film else None,
+                cast(dw2, w2), cast(db2, b2), cast(dg2s, g2s),
+                cast(dg2b, g2b),
+                cast(dwr, wres) if has_res else None,
+                cast(dbr, bres) if has_res else None)
+    if (backward_kernel_enabled() and chunked_backward_enabled()
+            and _chunked_bwd_supported(x.shape, x.shape[-1],
+                                       w1.shape[-1], groups)):
+        (dx, dw1, db1, dg1s, dg1b, dfilm, dw2, db2, dg2s, dg2b,
+         dwr, dbr) = _chunked_bwd(
+            x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
+            wres if has_res else None, bres if has_res else None,
             groups, eps, interpret)
         cast = lambda t, p: t.reshape(p.shape).astype(p.dtype)
         return (cast(dx, x), cast(dw1, w1), cast(db1, b1),

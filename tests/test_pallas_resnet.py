@@ -208,3 +208,54 @@ def test_bwd_xla_fallback_env(monkeypatch):
 
     gx = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(gx)).all()
+
+
+@pytest.mark.parametrize("film", [True, False])
+@pytest.mark.parametrize("res", [True, False])
+def test_chunked_bwd_matches_reference(film, res, monkeypatch):
+    """Decomposed big-S backward (conv kernels + XLA elementwise; VERDICT
+    r3 #4) vs reference autodiff on every gradient. The whole-sample
+    kernel is forced unsupported so the chunked path engages; the
+    (B, nT) chunk split is exercised by making only T=2 frames fit."""
+    assert pallas_resnet.chunked_backward_enabled()
+    # pretend whole-sample backward never fits
+    monkeypatch.setattr(pallas_resnet, "_bwd_supported",
+                        lambda *a, **k: False)
+    # force a chunk split: cap the conv live set so _chunk_t picks tc < T
+    shape = (2, 4, 4, 8, 16)
+    cin, cout, groups = 16, 16 if not res else 24, 4
+    real_chunk = pallas_resnet._chunk_t(shape[1], shape[2], shape[3],
+                                        cin, cout)
+    assert real_chunk == shape[1]  # sanity: normally whole T fits
+    monkeypatch.setattr(pallas_resnet, "_chunk_t",
+                        lambda T, H, W, ci, co: 2)
+    p = make_params(jax.random.PRNGKey(3), cin, cout, film, res=res)
+    if p["film"] is not None:
+        p["film"] = p["film"][: shape[0]]
+    x = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
+    gw = jax.random.normal(jax.random.PRNGKey(5),
+                           shape[:-1] + (cout,), jnp.float32)
+    names = [k for k in ("film", "w1", "b1", "g1s", "g1b", "w2", "b2",
+                         "g2s", "g2b", "wres", "bres")
+             if p[k] is not None]
+
+    def run(fn, x, args):
+        q = dict(p)
+        q.update(dict(zip(names, args)))
+        out = fn(x, q["w1"], q["b1"], q["g1s"], q["g1b"], q["film"],
+                 q["w2"], q["b2"], q["g2s"], q["g2b"], q["wres"],
+                 q["bres"], groups=groups,
+                 **({"interpret": True}
+                    if fn is pallas_resnet.fused_resnet_block else {}))
+        return jnp.sum(out * gw)
+
+    args = [p[k] for k in names]
+    gf = jax.grad(lambda x, a: run(pallas_resnet.fused_resnet_block, x, a),
+                  argnums=(0, 1))(x, args)
+    gr = jax.grad(lambda x, a: run(pallas_resnet.resnet_block_reference,
+                                   x, a), argnums=(0, 1))(x, args)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=2e-4, atol=2e-5, err_msg="dx")
+    for name, a, b in zip(names, gf[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

@@ -280,3 +280,74 @@ class TestAEShardMapStep:
         assert int(new_state.step) == 1
         leaf = jax.tree_util.tree_leaves(new_state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestMeshPortableRestore:
+    def test_checkpoint_crosses_mesh_shapes(self, devices, tmp_path):
+        """A checkpoint written under a (4,2) (data, model) GSPMD run
+        restores into an (8,1) DP shard_map run and vice versa (VERDICT
+        r3 #7): save_checkpoint gathers to host numpy, restore_like
+        re-places onto whatever template sharding the consumer uses."""
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        from extdm_tpu.train import (load_checkpoint, restore_like,
+                                     save_checkpoint)
+        from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+
+        fd = ge._tiny_fd()
+        lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+        trainer = DMTrainer(fd, make_optimizer(1e-4, [100], 0.5))
+
+        # --- phase A: one step under the (4,2) model-parallel mesh ------
+        mesh_a = make_mesh(model=2, devices=devices)  # (4, 2)
+        state = trainer.init_state(unet_vars)
+        sharded = shard_params(state.unet_params, mesh_a)
+        state = type(state)(step=state.step, unet_params=sharded,
+                            opt_state=trainer.tx.init(sharded))
+        lfae_a = jax.device_put(lfae_vars, jax.sharding.NamedSharding(
+            mesh_a, jax.sharding.PartitionSpec()))
+        video = jnp.asarray(
+            np.random.RandomState(0).rand(8, 4, 32, 32, 3), np.float32)
+        with mesh_a:
+            state_a, _ = jax.jit(trainer.train_step)(
+                state, lfae_a, jax.random.PRNGKey(1), shard_batch(video, mesh_a))
+            jax.block_until_ready(state_a.unet_params)
+        ck = str(tmp_path / "a.ckpt")
+        save_checkpoint(ck, {"example": 8, "state": state_a})
+
+        # --- restore A's ckpt into an (8,1) DP run ----------------------
+        mesh_b = make_mesh(devices=devices)  # (8, 1)
+        state_b = trainer.init_state(unet_vars)
+        state_b = restore_like(state_b, load_checkpoint(ck)["state"])
+        state_b = jax.device_put(state_b, jax.sharding.NamedSharding(
+            mesh_b, jax.sharding.PartitionSpec()))
+        assert int(state_b.step) == 1
+        # restored values match what phase A computed
+        la = np.asarray(jax.tree_util.tree_leaves(state_a.unet_params)[0])
+        lb = np.asarray(jax.tree_util.tree_leaves(state_b.unet_params)[0])
+        np.testing.assert_array_equal(la, lb)
+        step_b = trainer.shard_mapped_train_step(mesh_b, donate=False)
+        state_b2, aux_b = step_b(state_b, jax.device_put(
+            lfae_vars, jax.sharding.NamedSharding(
+                mesh_b, jax.sharding.PartitionSpec())),
+            jax.random.PRNGKey(2), shard_batch(video, mesh_b))
+        assert np.isfinite(float(aux_b["loss"]))
+        assert int(state_b2.step) == 2
+
+        # --- and back: B's ckpt into a fresh (4,2) GSPMD run ------------
+        ck2 = str(tmp_path / "b.ckpt")
+        save_checkpoint(ck2, {"example": 16, "state": state_b2})
+        state_c = trainer.init_state(unet_vars)
+        state_c = restore_like(state_c, load_checkpoint(ck2)["state"])
+        sharded_c = shard_params(state_c.unet_params, mesh_a)
+        state_c = type(state_c)(step=state_c.step, unet_params=sharded_c,
+                                opt_state=jax.tree_util.tree_map(
+                                    lambda x: x, state_c.opt_state))
+        assert int(state_c.step) == 2
+        with mesh_a:
+            state_c2, aux_c = jax.jit(trainer.train_step)(
+                state_c, lfae_a, jax.random.PRNGKey(3),
+                shard_batch(video, mesh_a))
+            jax.block_until_ready(state_c2.unet_params)
+        assert np.isfinite(float(aux_c["loss"]))
+        assert int(state_c2.step) == 3
