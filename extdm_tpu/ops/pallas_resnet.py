@@ -81,9 +81,14 @@ def backward_kernel_enabled() -> bool:
 
 def chunked_backward_enabled() -> bool:
     """Decomposed big-S backward (conv kernels + XLA elementwise; VERDICT
-    r3 #4). EXTDM_PALLAS_RESNET_CHUNKED=0 restores the round-3 routing
-    (big-S training blocks pure XLA end to end)."""
-    return os.environ.get("EXTDM_PALLAS_RESNET_CHUNKED", "1") == "1"
+    r3 #4). MEASURED DEAD END on-chip, default OFF: flagship train step
+    b24 = 817.0 ms/step with this path vs 716.6 ms pure-XLA for the big
+    blocks (round-4 A/B, /tmp recipe in IMPLEMENTATION_NOTES). The
+    backward's unavoidable conv recompute (a1/a2 are not residuals under
+    remat) plus the f32 GN/FiLM elementwise chains out-cost XLA's own
+    autodiff schedule; gradient parity is kernel-verified, so the path
+    stays available for A/B via EXTDM_PALLAS_RESNET_CHUNKED=1."""
+    return os.environ.get("EXTDM_PALLAS_RESNET_CHUNKED", "0") == "1"
 
 
 _TRAIN_TRACE = False
@@ -637,9 +642,12 @@ def _bwd_kernel_impl(x, g, w1, b1, g1s, g1b, film, w2, b2, g2s, g2b,
 
 def _chunk_t(T: int, H: int, W: int, cin: int, cout: int) -> int:
     """Frames per conv-kernel program: largest divisor of T whose conv
-    live set (~x + f32 acc + f32 z + out rows) fits the scoped cap."""
-    per_row = 2 * cin + 4 * cout + 4 * cout + 2 * cout
-    cap = 0.7 * pallas_stw._vmem_limit_bytes()
+    live set fits the scoped cap. CALIBRATED on-chip: the whole-sample
+    conv *backward* program at S=30720, Cin=Cout=64 measured 136.9 MB
+    scoped VMEM (double-buffered bf16 in/out windows + ~10 live f32
+    S-row intermediates across the tap loop) ~= 72 bytes/row/channel."""
+    per_row = 72 * max(cin, cout)
+    cap = 0.62 * pallas_stw._vmem_limit_bytes()
     best = 0
     for tc in range(1, T + 1):
         if T % tc:

@@ -217,6 +217,7 @@ def test_chunked_bwd_matches_reference(film, res, monkeypatch):
     r3 #4) vs reference autodiff on every gradient. The whole-sample
     kernel is forced unsupported so the chunked path engages; the
     (B, nT) chunk split is exercised by making only T=2 frames fit."""
+    monkeypatch.setenv("EXTDM_PALLAS_RESNET_CHUNKED", "1")  # opt-in path
     assert pallas_resnet.chunked_backward_enabled()
     # pretend whole-sample backward never fits
     monkeypatch.setattr(pallas_resnet, "_bwd_supported",
