@@ -47,22 +47,43 @@ def _sync(x):
     return float(np.asarray(x.reshape(-1)[0]))
 
 
-def time_fn(fn, *args, iters=5):
-    out = fn(*args)
+SCAN_REPS = 16
+
+
+def time_fn(fn, q, *args, iters=5):
+    """Median ms per fn application. fn is applied SCAN_REPS times inside
+    ONE jitted scan (iterations chained through q so nothing is CSE'd/
+    cached) and the wall time divided — a single device->host sync per
+    measurement amortizes the tunneled device's ~32 ms RTT, which would
+    otherwise dominate ubench-scale kernels."""
+
+    @jax.jit
+    def run(q, *args):
+        def body(c, _):
+            o = fn(c, *args)
+            # couple iterations (defeats CSE) at negligible cost
+            return (c + o[..., :1] * 1e-6).astype(c.dtype), None
+        return jax.lax.scan(body, q, None, length=SCAN_REPS)[0]
+
+    out = run(q, *args)
     _sync(out)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = run(q, *args)
         _sync(out)
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
+    return float(np.median(ts)) * 1e3 / SCAN_REPS
 
 
-def pallas_floor(nW, N, dh, pairs, chunk, dtype=jnp.bfloat16):
+def pallas_floor(nW, N, dh, pairs, chunk, dtype=jnp.bfloat16, loops=1):
     """Grid over window chunks; body = the pair-packed score+att matmuls
     exactly as the STW kernel issues them (same dimension_numbers, f32
-    accumulate), operands DMA'd per block like the real kernel's slabs."""
+    accumulate), operands DMA'd per block like the real kernel's slabs.
+
+    loops>1 repeats the matmul chain on the SAME VMEM-resident block
+    (small additive perturbation defeats CSE) — dividing by loops isolates
+    the MXU-issue floor from the HBM streaming cost."""
     pallas_stw._ensure_pallas()
     pl = pallas_stw.pl
     pltpu = pallas_stw.pltpu
@@ -70,21 +91,30 @@ def pallas_floor(nW, N, dh, pairs, chunk, dtype=jnp.bfloat16):
 
     def kernel(q_ref, kbd_ref, vbd_ref, o_ref):
         for p in range(pairs):
-            s = jax.lax.dot_general(
-                q_ref[p], kbd_ref[p],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # (chunk, N, 2N)
-            o_ref[p] = jax.lax.dot_general(
-                s.astype(q_ref.dtype), vbd_ref[p],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            ).astype(o_ref.dtype)  # (chunk, N, 2dh)
+            acc = None
+            for l in range(loops):
+                s = jax.lax.dot_general(
+                    q_ref[p] if l == 0 else q_ref[p] + jnp.asarray(
+                        l, q_ref.dtype),
+                    kbd_ref[p],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (chunk, N, 2N)
+                o = jax.lax.dot_general(
+                    s.astype(q_ref.dtype), vbd_ref[p],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # (chunk, N, 2dh)
+                acc = o if acc is None else acc + o
+            o_ref[p] = acc.astype(o_ref.dtype)
 
-    rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.randn(pairs, nW, N, 2 * dh), dtype)
-    kbd = jnp.asarray(rng.randn(pairs, nW, 2 * dh, 2 * N), dtype)
-    vbd = jnp.asarray(rng.randn(pairs, nW, 2 * N, 2 * dh), dtype)
+    # operands generated ON DEVICE: host-side randn for these ~0.5 GB
+    # arrays would stream minutes through the tunneled transfer path
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (pairs, nW, N, 2 * dh), dtype)
+    kbd = jax.random.normal(key, (pairs, nW, 2 * dh, 2 * N), dtype)
+    vbd = jax.random.normal(key, (pairs, nW, 2 * N, 2 * dh), dtype)
+    jax.block_until_ready(vbd)
 
     spec = lambda last2a, last2b: pl.BlockSpec(
         (1, chunk, last2a, last2b), lambda p, c: (p, c, 0, 0))
@@ -98,17 +128,16 @@ def pallas_floor(nW, N, dh, pairs, chunk, dtype=jnp.bfloat16):
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=pallas_stw._vmem_limit_bytes()),
     )
-    jfn = jax.jit(lambda a, b, c: fn(a, b, c))
-    return time_fn(jfn, q, kbd, vbd)
+    return time_fn(fn, q, kbd, vbd)
 
 
 def xla_floor(nW, N, dh, pairs, dtype=jnp.bfloat16):
-    rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.randn(pairs, nW, N, 2 * dh), dtype)
-    kbd = jnp.asarray(rng.randn(pairs, nW, 2 * dh, 2 * N), dtype)
-    vbd = jnp.asarray(rng.randn(pairs, nW, 2 * N, 2 * dh), dtype)
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (pairs, nW, N, 2 * dh), dtype)
+    kbd = jax.random.normal(key, (pairs, nW, 2 * dh, 2 * N), dtype)
+    vbd = jax.random.normal(key, (pairs, nW, 2 * N, 2 * dh), dtype)
+    jax.block_until_ready(vbd)
 
-    @jax.jit
     def fn(q, kbd, vbd):
         s = jnp.einsum("pwnd,pwdm->pwnm", q, kbd,
                        preferred_element_type=jnp.float32)
@@ -134,6 +163,9 @@ def main():
     sol_ms = flops / 197e12 * 1e3
 
     pallas_ms = pallas_floor(nW, N, dh, pairs, args.chunk)
+    # VMEM-resident issue floor: 8 chained repeats per block amortize the
+    # HBM streaming; per-volume cost = measured / 8.
+    vmem_ms = pallas_floor(nW, N, dh, pairs, args.chunk, loops=8) / 8.0
     xla_ms = xla_floor(nW, N, dh, pairs)
     print(json.dumps({
         "metric": "stw_scoreatt_matmul_floor",
@@ -141,9 +173,10 @@ def main():
         "chunk": args.chunk,
         "gflop": round(flops / 1e9, 1),
         "compute_sol_ms": round(sol_ms, 3),
-        "pallas_floor_ms": round(pallas_ms, 3),
+        "pallas_hbm_floor_ms": round(pallas_ms, 3),
+        "pallas_vmem_floor_ms": round(vmem_ms, 3),
         "xla_floor_ms": round(xla_ms, 3),
-        "pallas_vs_sol": round(pallas_ms / sol_ms, 2),
+        "vmem_floor_vs_sol": round(vmem_ms / sol_ms, 2),
     }))
 
 
