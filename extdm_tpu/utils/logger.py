@@ -103,6 +103,15 @@ class StepTimer:
         self.batch_time.update(now - self._last)
         self._last = now
 
+    def skip(self):
+        """Re-anchor without recording — call after validation /
+        checkpoint / imgshot blocks so their (minutes-long on first
+        compile) duration doesn't land in the NEXT data_time sample as
+        phantom loader wait. Round-3's climbing data_time ratios were
+        partly this artifact: each periodic validation dumped its whole
+        duration into one data_time sample."""
+        self._last = time.perf_counter()
+
     def reset(self):
         """Drop accumulated averages (typically after step 0, whose
         compile time would otherwise poison batch_time.avg for the whole

@@ -287,6 +287,9 @@ def main():
                                              "step": step, "state": state})
                         prefix = "RegionMM" if crit == "fvd" else f"RegionMM_{crit}"
                         gate_best(ck, args.log_dir, disp_val, prefix)
+                # periodic valid/ckpt/imgshot time is not loader wait —
+                # re-anchor so it can't land in the next data_time sample
+                timer.skip()
                 step += 1
 
     save_checkpoint(os.path.join(args.log_dir, "RegionMM.ckpt"),

@@ -339,6 +339,9 @@ def main():
                                              "step": step, "state": state})
                         prefix = "flowdiff" if crit == "fvd" else f"flowdiff_{crit}"
                         gate_best(ck, args.log_dir, disp_val, prefix)
+                # periodic valid/ckpt/shot time is not loader wait —
+                # re-anchor so it can't land in the next data_time sample
+                timer.skip()
                 step += 1
 
     save_checkpoint(os.path.join(args.log_dir, "flowdiff.ckpt"),
