@@ -154,6 +154,8 @@ class AllAugmentationTransform:
 
     def __init__(self, resize_param=None, rotation_param=None, flip_param=None,
                  crop_param=None, jitter_param=None):
+        self.flip_param = flip_param
+        self.jitter_param = jitter_param
         self.transforms = []
         if flip_param is not None:
             self.transforms.append(RandomFlip(**flip_param))
@@ -165,8 +167,78 @@ class AllAugmentationTransform:
             self.transforms.append(RandomCrop(**crop_param))
         if jitter_param is not None:
             self.transforms.append(ColorJitter(**jitter_param))
+        # geometry-preserving pipelines (flip + jitter only — the KTH/
+        # SMMNIST/BAIR AE configs) admit the whole-batch vectorized path
+        self.batchable = resize_param is None and rotation_param is None \
+            and crop_param is None
 
     def __call__(self, clip: Clip) -> Clip:
         for t in self.transforms:
             clip = t(clip)
         return clip
+
+    def batch_call(self, clips: np.ndarray) -> np.ndarray:
+        """Vectorized equivalent of mapping __call__ over B clips with
+        INDEPENDENT per-clip parameters (same distribution, different
+        random stream): clips (B, T, H, W, C) float32 in [0,1].
+
+        One numpy/cv2 pass per op over the whole batch replaces B x T
+        python-level op dispatches — the AE stage's per-pair python
+        augmentation was the measured host bottleneck on the 1-core host
+        (VERDICT r3 #5; ref chain: data/augmentation.py:91-345)."""
+        assert self.batchable
+        B = clips.shape[0]
+        out = clips
+        fp = self.flip_param or {}
+        if fp.get("time_flip"):
+            tmask = np.random.rand(B) < 0.5
+            out = out.copy()
+            out[tmask] = out[tmask, ::-1]
+            hmask = np.logical_and(~tmask, np.random.rand(B) < 0.5)
+        else:
+            hmask = np.random.rand(B) < 0.5
+        if fp.get("horizontal_flip"):
+            out = out.copy() if out is clips else out
+            out[hmask] = out[hmask, :, :, ::-1]
+        jp = self.jitter_param
+        if jp:
+            jit = ColorJitter(**jp)
+            col = lambda lo, k: np.random.uniform(
+                max(0.0, 1 - jp.get(k, 0.0)), 1 + jp.get(k, 0.0),
+                (B, 1, 1, 1, 1)).astype(np.float32) if jp.get(k) else None
+            b = col(0, "brightness")
+            c = col(0, "contrast")
+            s = col(0, "saturation")
+            h = (np.random.uniform(-jp["hue"], jp["hue"], B).astype(np.float32)
+                 if jp.get("hue") else None)
+            ops = []
+            if b is not None:
+                ops.append(lambda a: np.clip(a * b, 0.0, 1.0))
+            if s is not None:
+                ops.append(lambda a: np.clip(
+                    _luma(a)[..., None] * (1 - s) + a * s, 0.0, 1.0))
+            if h is not None:
+                def hue_op(a):
+                    sh = a.shape
+                    flat = np.ascontiguousarray(
+                        a.reshape(-1, sh[-2], sh[-1]))
+                    hsv = cv2.cvtColor(flat, cv2.COLOR_RGB2HSV)
+                    hsv = hsv.reshape(sh)
+                    hsv[..., 0] = np.mod(
+                        hsv[..., 0] + h[:, None, None, None] * 360.0, 360.0)
+                    rgb = cv2.cvtColor(
+                        np.ascontiguousarray(hsv.reshape(-1, sh[-2], sh[-1])),
+                        cv2.COLOR_HSV2RGB)
+                    return np.clip(rgb.reshape(sh), 0.0, 1.0)
+                ops.append(hue_op)
+            if c is not None:
+                ops.append(lambda a: np.clip(
+                    _luma(a).mean(axis=(-2, -1), keepdims=True)[..., None]
+                    * (1 - c) + a * c, 0.0, 1.0))
+            # torchvision shuffles the op order per clip; one shared
+            # order per batch keeps the same marginal distributions
+            import random as _r
+            _r.shuffle(ops)
+            for op in ops:
+                out = op(out)
+        return out.astype(np.float32)

@@ -22,6 +22,7 @@ open-per-item h5py — SURVEY §3.5). Two worker modes:
 from __future__ import annotations
 
 import multiprocessing
+import os
 import queue
 import random as _stdlib_random
 import threading
@@ -166,15 +167,29 @@ class DataLoader:
         q_host: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         q_dev: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
+        # datasets exposing get_batch (whole-batch vectorized read +
+        # augmentation) can bypass per-item dispatch + collate. OPT-IN
+        # (EXTDM_BATCH_ITEMS=1): on the 1-core host the big-batch numpy
+        # passes fall out of L2 and initial measurements were not a
+        # clear win over the per-item path (whose ColorJitter already
+        # stacks each clip).
+        get_batch = (getattr(self.dataset, "get_batch", None)
+                     if os.environ.get("EXTDM_BATCH_ITEMS", "0") == "1"
+                     else None)
+
         def load_stage():
             try:
                 for indices in batch_iter:
-                    if self.pool is not None:
-                        items = list(self.pool.map(self.dataset.__getitem__,
-                                                   [int(i) for i in indices]))
+                    if get_batch is not None:
+                        q_host.put(get_batch(indices))
                     else:
-                        items = [self.dataset[int(i)] for i in indices]
-                    q_host.put(self.collate_fn(items))
+                        if self.pool is not None:
+                            items = list(self.pool.map(
+                                self.dataset.__getitem__,
+                                [int(i) for i in indices]))
+                        else:
+                            items = [self.dataset[int(i)] for i in indices]
+                        q_host.put(self.collate_fn(items))
                 q_host.put(sentinel)
             except BaseException as e:  # re-raised on the consumer side
                 q_host.put(e)

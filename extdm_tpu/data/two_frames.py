@@ -114,6 +114,58 @@ class TwoFramesDataset:
         """Single-flight RAM-cache pre-fill (see HDF5VideoStore)."""
         return self.store.prefill_cache()
 
+    def _read_pair(self, index: int) -> Dict[str, np.ndarray]:
+        """__getitem__ minus the augmentation (shared by both paths)."""
+        n = len(self)
+        video_index = round(index / (n - 1) * (self.max_index() - 1)) if n > 1 else 0
+        if self.is_ucf and self.type != "train":
+            video_index = video_index * 10 + self.num_train_vids
+        num_frames = self.store.video_length(video_index)
+        frame_idxs = self._sample_pair(num_frames)
+        crop_c = None
+        if self.is_ucf:
+            full_w = int(self.frame_shape / 240 * 320)
+            if self.type == "train":
+                crop_c = int(self.rng.randint(full_w - self.frame_shape))
+            else:
+                crop_c = int((full_w - self.frame_shape) / 2)
+        frames = []
+        for fi in frame_idxs:
+            frame = self.store.read_frames(video_index, int(fi), 1)[0]
+            if crop_c is not None:
+                frame = frame[:, crop_c : crop_c + self.frame_shape]
+            frame = gray2rgb(frame)
+            if np.issubdtype(frame.dtype, np.integer):
+                frame = frame.astype(np.float32) / 255.0
+            frames.append(frame.astype(np.float32))
+        return {"frames": frames, "idxs": frame_idxs}
+
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Whole-batch fast path (used by DataLoader when present): reads
+        all pairs, then applies the augmentation VECTORIZED across the
+        batch (independent per-pair parameters; one numpy/cv2 pass per op
+        instead of B x T python dispatches — the measured AE host
+        bottleneck on the 1-core host, VERDICT r3 #5). Falls back to the
+        per-item transform for geometry-changing pipelines."""
+        pairs, fidx = [], []
+        for i in indices:
+            d = self._read_pair(int(i))
+            pairs.append(np.stack(d["frames"]))
+            fidx.append(d["idxs"])
+        clips = np.stack(pairs)  # (B, 2, H, W, 3)
+        if self.transform is not None:
+            if getattr(self.transform, "batchable", False):
+                clips = self.transform.batch_call(clips)
+            else:
+                clips = np.stack(
+                    [np.stack(self.transform(list(c))) for c in clips])
+        return {
+            "source": np.ascontiguousarray(clips[:, 0], np.float32),
+            "driving": np.ascontiguousarray(clips[:, 1], np.float32),
+            "frame": np.stack(fidx),
+            "id": np.asarray([int(i) for i in indices]),
+        }
+
 
 class DatasetRepeater:
     """Iterate the dataset num_repeats times per epoch (ref :221-234)."""
@@ -127,6 +179,10 @@ class DatasetRepeater:
 
     def __getitem__(self, idx):
         return self.dataset[idx % len(self.dataset)]
+
+    def get_batch(self, indices):
+        n = len(self.dataset)
+        return self.dataset.get_batch([int(i) % n for i in indices])
 
     def prefill_cache(self) -> int:
         return self.dataset.prefill_cache()
