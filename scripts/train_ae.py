@@ -259,8 +259,9 @@ def main():
                     metrics_log.log(step, **vals, batch_time=timer.batch_time.avg,
                                     data_time=timer.data_time.avg)
                     print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
-                    if step == 0:
-                        timer.reset()  # exclude compile from batch_time.avg
+                    # per-WINDOW averages: each jsonl record covers only
+                    # the steps since the previous print
+                    timer.reset()
                 if step > 0 and step % save_freq == 0:
                     save_checkpoint(
                         os.path.join(args.log_dir, "RegionMM.ckpt"),

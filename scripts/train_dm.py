@@ -307,8 +307,10 @@ def main():
                         vals["skipped_nonfinite"] = float(nf)
                     metrics_log.log(step, **vals, batch_time=timer.batch_time.avg,
                                     data_time=timer.data_time.avg)
-                    if step == 0:
-                        timer.reset()  # exclude compile from batch_time.avg
+                    # per-WINDOW averages: each jsonl record covers only
+                    # the steps since the previous print (step 0's compile
+                    # falls out of window 1 the same way)
+                    timer.reset()
                     print(f"step {step}: " + " ".join(f"{k}={v:.5f}" for k, v in vals.items()))
                 if step > 0 and step % save_freq == 0:
                     save_checkpoint(
