@@ -73,3 +73,34 @@ def test_canonicalize_video_uint8_matches_host_path():
     f = jnp.asarray(rs.rand(2, 3, 8, 8, 3), jnp.float32)
     np.testing.assert_array_equal(np.asarray(canonicalize_video(f)),
                                   np.asarray(f))
+
+
+def test_train_step_accepts_raw_uint8_video():
+    """The jitted DM train step consumes the loader's raw uint8 batch
+    (stored gray layout) and matches the f32-RGB path's loss exactly —
+    guards the in-graph canonicalization wiring (round-4 input-pipeline
+    rework: 1/12th the host->device bytes)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+
+    fd = ge._tiny_fd()
+    lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+    trainer = DMTrainer(fd, make_optimizer(1e-4, [100], 0.5))
+    state = trainer.init_state(unet_vars)
+    step = trainer.jitted_train_step(donate=False)
+
+    raw = np.random.RandomState(0).randint(
+        0, 256, (2, 4, 32, 32), np.uint8)  # (B, T, H, W) gray
+    f32 = np.repeat((raw.astype(np.float32) / 255.0)[..., None], 3, -1)
+
+    _, aux_raw = step(state, lfae_vars, jax.random.PRNGKey(1),
+                      jnp.asarray(raw))
+    _, aux_f32 = step(state, lfae_vars, jax.random.PRNGKey(1),
+                      jnp.asarray(f32))
+    np.testing.assert_allclose(float(aux_raw["loss"]),
+                               float(aux_f32["loss"]), rtol=1e-6)
