@@ -34,6 +34,7 @@ class TwoFramesDataset:
         max_frame_distance: int = 50,
         augmentation_params: Optional[dict] = None,
         seed: int = 0,
+        raw_uint8: bool = False,
     ):
         self.root_dir = root_dir
         self.type = type
@@ -55,6 +56,17 @@ class TwoFramesDataset:
             self.transform = AllAugmentationTransform(**augmentation_params)
         else:
             self.transform = None
+        # raw_uint8: return frames in the STORED dtype/layout with no
+        # augmentation — the train step canonicalizes and augments
+        # in-graph (train/device_augment.py); 1/12th the transfer bytes
+        # for gray stores. Only valid with geometry-preserving (or no)
+        # augmentation pipelines.
+        self.raw_uint8 = raw_uint8
+        if raw_uint8 and self.transform is not None:
+            assert getattr(self.transform, "batchable", False), (
+                "raw_uint8 requires a geometry-preserving augmentation "
+                "pipeline (flip/jitter only) — crop/resize/rotation must "
+                "run on host")
 
     def max_index(self) -> int:
         if self.is_ucf:
@@ -95,10 +107,17 @@ class TwoFramesDataset:
             frame = self.store.read_frames(video_index, int(fi), 1)[0]
             if crop_c is not None:
                 frame = frame[:, crop_c : crop_c + self.frame_shape]
+            if self.raw_uint8 and np.issubdtype(frame.dtype, np.integer):
+                frames.append(np.ascontiguousarray(frame))
+                continue
             frame = gray2rgb(frame)
             if np.issubdtype(frame.dtype, np.integer):
                 frame = frame.astype(np.float32) / 255.0
             frames.append(frame.astype(np.float32))
+
+        if self.raw_uint8 and frames[0].dtype == np.uint8:
+            return {"source": frames[0], "driving": frames[1],
+                    "frame": np.asarray(frame_idxs), "id": index}
 
         if self.transform is not None:
             frames = self.transform(frames)

@@ -42,10 +42,16 @@ def make_optimizer(lr: float, milestones, gamma: float,
 
 class AETrainer:
     def __init__(self, model: ReconstructionModel, optimizer: optax.GradientTransformation,
-                 learnable_loss_weights: bool = False):
+                 learnable_loss_weights: bool = False,
+                 device_augment: "dict | None" = None):
         self.model = model
         self.tx = optimizer
         self.learnable = learnable_loss_weights
+        # {"flip_param": ..., "jitter_param": ...} -> the loader ships raw
+        # uint8 pairs and the flip/jitter chain runs in-graph (see
+        # train/device_augment.py). None -> host-augmented f32 batches
+        # pass through (uint8 batches are still canonicalized in-graph).
+        self.device_augment = device_augment
 
     def init_state(self, variables) -> AETrainState:
         params = variables["params"]
@@ -72,6 +78,11 @@ class AETrainer:
     def train_step(
         self, state: AETrainState, key: jax.Array, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[AETrainState, Dict[str, jnp.ndarray]]:
+        from extdm_tpu.train.device_augment import prepare_batch
+
+        akey, key = jax.random.split(key)
+        batch = prepare_batch(batch, akey, self.device_augment)
+
         def loss_fn(params, lw):
             (losses, _generated), mutated = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -128,8 +139,13 @@ class AETrainer:
         rep, data = P(), P("data")
 
         def local_step(state, key, batch):
-            # decorrelate per-shard TPS equivariance transforms
+            from extdm_tpu.train.device_augment import prepare_batch
+
+            # decorrelate per-shard TPS equivariance transforms (and the
+            # per-shard augmentation draws)
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            akey, key = jax.random.split(key)
+            batch = prepare_batch(batch, akey, self.device_augment)
 
             def loss_fn(params, lw):
                 with sync_bn_axis("data"):

@@ -120,6 +120,11 @@ def main():
                    help="worker type: 'process' forks one worker per batch "
                         "(wins on multi-core hosts where cv2 augmentation "
                         "is GIL-bound; neutral on single-core)")
+    p.add_argument("--device_augment", action="store_true",
+                   help="ship RAW uint8 pairs and run the flip/jitter "
+                        "augmentation in-graph (1/12th the host->device "
+                        "bytes; requires a geometry-preserving pipeline — "
+                        "see train/device_augment.py)")
     args = p.parse_args()
 
     from extdm_tpu.config import ae_model_kwargs, load_config
@@ -142,14 +147,24 @@ def main():
     metrics_log = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
     root_key = setup_seed(args.seed)
 
+    aug_params = dp.get("augmentation_params")
+    device_aug = None
+    if args.device_augment:
+        extra = set(aug_params or ()) - {"flip_param", "jitter_param"}
+        if extra:
+            raise SystemExit(f"--device_augment supports flip/jitter only; "
+                             f"config also has {sorted(extra)}")
+        device_aug = {k: (aug_params or {}).get(k)
+                      for k in ("flip_param", "jitter_param")}
     dataset = TwoFramesDataset(
         dp["root_dir"],
         type=dp["train_params"]["type"],
         frame_shape=dp["frame_shape"],
         min_frame_distance=dp.get("min_frame_distance", 0),
         max_frame_distance=dp.get("max_frame_distance", 50),
-        augmentation_params=dp.get("augmentation_params"),
+        augmentation_params=None if args.device_augment else aug_params,
         seed=args.seed,
+        raw_uint8=args.device_augment,
     )
     dataset = DatasetRepeater(dataset, tp.get("num_repeats", 1))
     if int(os.environ.get("EXTDM_CLIP_CACHE_MB", "0")):
@@ -191,7 +206,8 @@ def main():
     sched = tp["scheduler_param"]
     trainer = AETrainer(model, make_optimizer(tp["lr"], sched["milestones"], sched["gamma"],
                                               nan_guard=args.nan_guard),
-                        learnable_loss_weights=args.learnable_loss_weights)
+                        learnable_loss_weights=args.learnable_loss_weights,
+                        device_augment=device_aug)
     state = trainer.init_state(variables)
 
     start_step = 0
@@ -220,21 +236,30 @@ def main():
     img_freq = tp.get("save_img_freq", 0)
     imgshot_dir = os.path.join(args.log_dir, "imgshots")
 
+    from extdm_tpu.train.device_augment import canonicalize_images
+
+    imgshot_apply = jax.jit(lambda v, b: model.apply(
+        v, {k: canonicalize_images(x) for k, x in b.items()},
+        rngs={"tps": jax.random.PRNGKey(0)}, mutable=["batch_stats"]))
+
     def save_imgshot(state, batch, step):
-        """Region diagnostics grid (reference imgshot, scripts/AE/train.py:324)."""
+        """Region diagnostics grid (reference imgshot, scripts/AE/train.py:324).
+        The apply MUST be jitted: eager dispatch of the full LFAE forward
+        through the tunneled TPU is minutes of RTT per imgshot (measured
+        stalling the round-4 evidence run ~8 min at step 2500)."""
         from extdm_tpu.utils.visualize import RegionVisualizer, save_image
 
-        (_, generated), _ = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch, rngs={"tps": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
-        )
+        (_, generated), _ = imgshot_apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, batch)
         out = {k: np.asarray(v) if not isinstance(v, dict)
                else {kk: np.asarray(vv) for kk, vv in v.items()}
                for k, v in generated.items()
                if k in ("prediction", "deformed", "occlusion_map",
                         "source_region_params", "driving_region_params")}
         grid = RegionVisualizer(kp_size=2).visualize(
-            np.asarray(batch["source"]), np.asarray(batch["driving"]), out)
+            np.asarray(canonicalize_images(jnp.asarray(batch["source"]))),
+            np.asarray(canonicalize_images(jnp.asarray(batch["driving"]))),
+            out)
         save_image(os.path.join(imgshot_dir, f"step{step:07d}.png"), grid)
 
     with mesh:
