@@ -26,11 +26,14 @@ if [ ! -d "$ROOT" ]; then
 fi
 
 # 2. stage-1 LFAE — same step count and timeout as round 3 (which timed
-# out at 3000/3500); must now finish.
+# out at 3000/3500); must now finish. AE_EXTRA=--device_augment runs the
+# in-graph augmentation path (measured 2.2x the step rate; the committed
+# round-4 artifacts were produced WITHOUT it, host-augmented).
 if [ ! -f "$RUN/ae/RegionMM.ckpt" ] || [ "${FORCE_AE:-0}" = 1 ]; then
   timeout 3000 python scripts/train_ae.py --config configs/AE/shapes.yaml \
       --root_dir "$ROOT" --log_dir "$RUN/ae" --max_steps 3500 \
-      --batch_size 64 --valid_every 500 --valid_videos 16 --nan_guard 100
+      --batch_size 64 --valid_every 500 --valid_videos 16 --nan_guard 100 \
+      ${AE_EXTRA:-}
 fi
 
 # 3. stage-2 DM phase 1 (fresh)
