@@ -171,8 +171,22 @@ class MotionAdaptor(nn.Module):
         y = y + w_t[1].astype(y.dtype)          # (B, H, W, tp*C)
         y = y.reshape(B, H, W, self.tp, C)
 
-        # fuse in (B, H, W, tp, C) form: one transpose of xp in, one of the
-        # result out (the reference layout needs 3 extra copies here).
+        import os
+        if os.environ.get("EXTDM_ADAPTOR_TMAJOR", "1") == "1":
+            # fuse in the stream's native (B, tp, H, W, C) form: ONE
+            # transpose (of y) instead of transposing xp in and the
+            # result back out — the b32 UNet trace showed XLA picking a
+            # B-second-minor layout around this pipeline and paying
+            # ~7 ms/fwd in layout-copy fusions (IMPLEMENTATION_NOTES
+            # round-4 fusion-bucket table).
+            y_t = y.transpose(0, 3, 1, 2, 4)    # (B, tp, H, W, C)
+            fused_in = jnp.concatenate([y_t, xp], axis=-1)
+            fused = Conv3d1x1(C, dtype=self.dtype, name="fuser")(
+                ChanLayerNorm(name="fuser_norm")(fused_in)
+            )
+            return jnp.concatenate([xm, fused + xp], axis=1)
+
+        # round-3 form: fuse in (B, H, W, tp, C) (kept for A/B)
         xp_t = xp.transpose(0, 2, 3, 1, 4)      # (B, H, W, tp, C)
         fused_in = jnp.concatenate([y, xp_t], axis=-1)
         fused = Conv3d1x1(C, dtype=self.dtype, name="fuser")(
