@@ -1,6 +1,7 @@
 from extdm_tpu.parallel.mesh import (
     batch_sharding,
     make_data_mesh,
+    make_hybrid_mesh,
     make_mesh,
     param_shardings,
     replicated,
@@ -11,6 +12,7 @@ from extdm_tpu.parallel.mesh import (
 __all__ = [
     "batch_sharding",
     "make_data_mesh",
+    "make_hybrid_mesh",
     "make_mesh",
     "param_shardings",
     "replicated",

@@ -35,6 +35,45 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_hybrid_mesh(
+    dcn: int = 2,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """3-D (dcn, data, model) mesh for multi-slice pods.
+
+    Layout rule (scaling-book recipe): pure data parallelism over the
+    slow inter-slice DCN axis — exactly ONE gradient all-reduce per step
+    crosses DCN — while 'data' DP and 'model' TP stay within a slice so
+    their collectives (grad all-reduce segments, TP all-gathers, SyncBN
+    pmeans) ride ICI. The batch's leading axis is sharded over the
+    combined ('dcn', 'data') axes (see `batch_sharding`); the TP rule
+    (`_param_spec`) is unchanged — kernels split over 'model' only.
+
+    On real multi-slice hardware (devices report distinct
+    `.slice_index`), the device grid is built with
+    `mesh_utils.create_hybrid_device_mesh` so the major axis truly maps
+    to slices. Anywhere else (single slice, CPU dryrun) a plain reshape
+    stands in — the sharding program is identical, only the physical
+    link speeds differ. Run under `jax.distributed.initialize()` on
+    multi-host; mesh construction is the same either way.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % (dcn * model) == 0, f"{n} devices !% dcn={dcn} x model={model}"
+    data = n // (dcn * model)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, data, model), dcn_mesh_shape=(dcn, 1, 1),
+            devices=devices)
+    else:
+        arr = np.asarray(devices).reshape(dcn, data, model)
+    return Mesh(arr, ("dcn", "data", "model"))
+
+
 def make_data_mesh(batch_size: int,
                    devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data mesh over the most devices the global batch divides.
@@ -54,6 +93,9 @@ def make_data_mesh(batch_size: int,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch spec: over 'data', plus 'dcn' on hybrid meshes."""
+    if "dcn" in mesh.shape:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -80,6 +80,60 @@ class TestGraftEntry:
         ge.dryrun_multichip(8)
 
 
+class TestHybridDCNMesh:
+    def test_hybrid_mesh_shapes_and_batch_spec(self, devices):
+        from extdm_tpu.parallel import batch_sharding, make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(dcn=2, model=2, devices=devices)
+        assert dict(mesh.shape) == {"dcn": 2, "data": 2, "model": 2}
+        assert batch_sharding(mesh).spec == jax.sharding.PartitionSpec(
+            ("dcn", "data"))
+        # TP rule unchanged: kernels over 'model' only, never 'dcn'
+        sharded = shard_params(
+            {"layer": {"kernel": jnp.zeros((256, 64))}}, mesh)
+        assert sharded["layer"]["kernel"].sharding.spec == \
+            jax.sharding.PartitionSpec(None, "model")
+
+    def test_hybrid_step_matches_plain_mesh(self, devices):
+        """The (dcn, data, model) step is the SAME logical program as the
+        (data, model) step — identical loss and updated params; only the
+        physical layout (which collectives ride DCN vs ICI) differs."""
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        from extdm_tpu.parallel import make_hybrid_mesh
+        from extdm_tpu.train.dm_trainer import DMTrainer, make_optimizer
+
+        fd = ge._tiny_fd()
+        lfae_vars, unet_vars = fd.init_variables(jax.random.PRNGKey(0))
+        trainer = DMTrainer(fd, make_optimizer(1e-4, [100], 0.5))
+        video = jnp.asarray(
+            np.random.RandomState(0).rand(4, 4, 32, 32, 3), np.float32)
+
+        def run(mesh):
+            state = trainer.init_state(unet_vars)
+            params = shard_params(state.unet_params, mesh)
+            state = type(state)(step=state.step, unet_params=params,
+                                opt_state=trainer.tx.init(params))
+            lv = jax.device_put(lfae_vars, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+            vid = shard_batch(video, mesh)
+            with mesh:
+                new_state, aux = jax.jit(trainer.train_step)(
+                    state, lv, jax.random.PRNGKey(1), vid)
+                jax.block_until_ready(new_state.unet_params)
+            return float(aux["loss"]), new_state.unet_params
+
+        hy_loss, hy_params = run(make_hybrid_mesh(dcn=2, model=2,
+                                                  devices=devices))
+        pl_loss, pl_params = run(make_mesh(model=2, devices=devices))
+        assert np.isfinite(hy_loss)
+        np.testing.assert_allclose(hy_loss, pl_loss, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(hy_params),
+                        jax.tree_util.tree_leaves(pl_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
 class TestShardMapTrainStep:
     def test_dp_shard_map_matches_semantics(self, devices):
         """shard_map DP step runs, loss finite, params stay replicated."""
