@@ -27,6 +27,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def canonicalize_images(x: jnp.ndarray) -> jnp.ndarray:
@@ -79,15 +80,137 @@ def _luma(x):
     return (x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114)
 
 
+# ---------------------------------------------------------------------------
+# Geometry (rotation -> resize -> crop), jit-static shapes.
+#
+# The host pipeline (data/augmentation.py, ref data/augmentation.py order
+# flip -> rotation -> resize -> crop -> jitter) materializes the rotated
+# and resized intermediates per clip with cv2. In-graph that would mean
+# DYNAMIC shapes (resized dims depend on the sampled scale), so instead
+# the three ops are composed into ONE per-pair affine coordinate map from
+# the static (out, out) output grid back into the stored frame, followed
+# by a single bilinear gather with zero fill — numerically the same
+# composition, evaluated lazily. Deliberate deltas vs the host chain
+# (regularization details, not inference-parity surfaces, same spirit as
+# the fixed jitter order documented above):
+# - resize interpolation is bilinear (host default is cv2 nearest);
+# - crop offsets are continuous uniform over the same support (host draws
+#   integers);
+# - out-of-source pixels blend to 0 over a half-pixel band (host: hard
+#   zero border for rotation/pad, edge-replicate for resize clamping).
+# Pure crops (scale 1, no rotation, integer offsets) are bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_zero(img, ys, xs):
+    """img (H, W, C); ys/xs (h, w) f32 source coords -> (h, w, C),
+    bilinear with zero fill outside the source rectangle."""
+    H, W = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+
+    def corner(yi, xi):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        return jnp.where(valid[..., None], img[yc, xc], 0.0)
+
+    top = corner(y0, x0) * (1 - wx) + corner(y0, x0 + 1) * wx
+    bot = corner(y0 + 1, x0) * (1 - wx) + corner(y0 + 1, x0 + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def sample_geometry(key: jax.Array, B: int, in_hw, out_size: int,
+                    resize_param: Optional[dict] = None,
+                    rotation_param: Optional[dict] = None,
+                    crop_param: Optional[dict] = None):
+    """Draw per-pair (angle, per-axis scale, per-axis offset) matching the
+    host samplers (RandomRotation / RandomResize / RandomCrop):
+    - angle ~ U(-degrees, degrees);
+    - one scale ~ U(*ratio) for both axes, snapped to the exact per-axis
+      ratios floor(dim*s)/dim that cv2.resize(int(w*s), int(h*s)) uses;
+    - crop offset per axis: U(0, resized_dim - out) when the resized
+      frame covers the crop, else the host's centered zero-pad offset
+      -((out - resized_dim) // 2).
+    Returns (angle_rad, sy, sx, offy, offx), each (B,)."""
+    H, W = in_hw
+    ka, ks, ky, kx = jax.random.split(key, 4)
+    if rotation_param:
+        deg = rotation_param.get("degrees", 0.0)
+        lo, hi = ((-deg, deg) if not isinstance(deg, (tuple, list))
+                  else tuple(deg))
+        angle = jax.random.uniform(ka, (B,), minval=lo, maxval=hi)
+        angle = angle * (np.pi / 180.0)
+    else:
+        angle = jnp.zeros((B,))
+    if resize_param:
+        lo, hi = resize_param.get("ratio", (3.0 / 4.0, 4.0 / 3.0))
+        s = jax.random.uniform(ks, (B,), minval=lo, maxval=hi)
+    else:
+        s = jnp.ones((B,))
+    # cv2.resize targets int(dim * s): snap to the realized per-axis ratio
+    sy = jnp.floor(H * s) / H
+    sx = jnp.floor(W * s) / W
+
+    def offset(k, scale, dim):
+        resized = jnp.floor(dim * scale)
+        span = jnp.maximum(resized - out_size, 0.0)
+        u = jax.random.uniform(k, (B,)) * span
+        pad_top = jnp.floor((out_size - resized) / 2.0)
+        return jnp.where(resized >= out_size, u, -pad_top)
+
+    if crop_param or resize_param:
+        offy = offset(ky, sy, H)
+        offx = offset(kx, sx, W)
+    else:
+        offy = jnp.zeros((B,))
+        offx = jnp.zeros((B,))
+    return angle, sy, sx, offy, offx
+
+
+def apply_geometry(img: jnp.ndarray, out_size: int, angle, sy, sx, offy,
+                   offx) -> jnp.ndarray:
+    """img (B, H, W, C) f32 -> (B, out, out, C): per-pair composed
+    rotation(center, cv2 convention) -> resize(sy, sx) -> crop(offy, offx),
+    one bilinear gather per image."""
+    B, H, W = img.shape[0], img.shape[1], img.shape[2]
+    rows = jnp.arange(out_size, dtype=jnp.float32)
+    cols = jnp.arange(out_size, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(rows, cols, indexing="ij")
+
+    def one(im, a, syi, sxi, oy, ox):
+        # crop -> resized coords; resize -> rotated coords (cv2
+        # center-aligned convention src = (dst + 0.5)/s - 0.5)
+        ry = (gy + oy + 0.5) / syi - 0.5
+        rx = (gx + ox + 0.5) / sxi - 0.5
+        # rotation: cv2.getRotationMatrix2D((w/2, h/2), angle) forward map
+        # is [[c, s], [-s, c]] about the center; sample src via inverse
+        cy, cx = H / 2.0, W / 2.0
+        dy, dx = ry - cy, rx - cx
+        c, sn = jnp.cos(a), jnp.sin(a)
+        src_x = c * dx - sn * dy + cx
+        src_y = sn * dx + c * dy + cy
+        return _bilinear_zero(im, src_y, src_x)
+
+    return jax.vmap(one)(img, angle, sy, sx, offy, offx)
+
+
 def augment_pairs(source: jnp.ndarray, driving: jnp.ndarray, key: jax.Array,
                   flip_param: Optional[dict] = None,
-                  jitter_param: Optional[dict] = None):
+                  jitter_param: Optional[dict] = None,
+                  resize_param: Optional[dict] = None,
+                  rotation_param: Optional[dict] = None,
+                  crop_param: Optional[dict] = None):
     """source/driving: uint8 stored layout or f32 (B, H, W, 3).
-    Returns the augmented f32 RGB pair."""
+    Returns the augmented f32 RGB pair (host op order: flip -> rotation
+    -> resize -> crop -> jitter; geometry params shared across the pair,
+    like the host's clip-level transforms)."""
     src = canonicalize_images(source)
     drv = canonicalize_images(driving)
     B = src.shape[0]
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 8)
 
     fp = flip_param or {}
     if fp.get("time_flip"):
@@ -102,6 +225,19 @@ def augment_pairs(source: jnp.ndarray, driving: jnp.ndarray, key: jax.Array,
         m = hmask[:, None, None, None]
         src = jnp.where(m, src[:, :, ::-1], src)
         drv = jnp.where(m, drv[:, :, ::-1], drv)
+
+    if resize_param or rotation_param or crop_param:
+        cs = (crop_param or {}).get("size", src.shape[1])
+        if isinstance(cs, (tuple, list)):
+            assert cs[0] == cs[1], "device geometry supports square crops"
+            cs = cs[0]
+        out_size = int(cs)
+        geo = sample_geometry(ks[7], B, (src.shape[1], src.shape[2]),
+                              out_size, resize_param=resize_param,
+                              rotation_param=rotation_param,
+                              crop_param=crop_param)
+        src = apply_geometry(src, out_size, *geo)
+        drv = apply_geometry(drv, out_size, *geo)
 
     jp = jitter_param or {}
 

@@ -150,12 +150,13 @@ def main():
     aug_params = dp.get("augmentation_params")
     device_aug = None
     if args.device_augment:
-        extra = set(aug_params or ()) - {"flip_param", "jitter_param"}
+        known = {"flip_param", "jitter_param", "resize_param",
+                 "rotation_param", "crop_param"}
+        extra = set(aug_params or ()) - known
         if extra:
-            raise SystemExit(f"--device_augment supports flip/jitter only; "
+            raise SystemExit(f"--device_augment supports {sorted(known)}; "
                              f"config also has {sorted(extra)}")
-        device_aug = {k: (aug_params or {}).get(k)
-                      for k in ("flip_param", "jitter_param")}
+        device_aug = {k: (aug_params or {}).get(k) for k in known}
     dataset = TwoFramesDataset(
         dp["root_dir"],
         type=dp["train_params"]["type"],

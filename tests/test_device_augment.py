@@ -127,3 +127,97 @@ def test_ae_train_step_on_raw_uint8_pairs():
         state, jax.random.PRNGKey(2), raw)
     assert np.isfinite(float(aux["loss_total"]))
     assert int(new_state.step) == 1
+
+
+class TestDeviceGeometry:
+    """apply_geometry (rotation -> resize -> crop as one coordinate map)
+    vs the host cv2 ops at FIXED parameters."""
+
+    def test_pure_crop_is_exact(self):
+        rs = np.random.RandomState(4)
+        img = rs.rand(2, 16, 16, 3).astype(np.float32)
+        angle = jnp.zeros((2,))
+        ones = jnp.ones((2,))
+        offy = jnp.asarray([3.0, 0.0])
+        offx = jnp.asarray([5.0, 7.0])
+        out = np.asarray(dev_aug.apply_geometry(
+            jnp.asarray(img), 8, angle, ones, ones, offy, offx))
+        for i, (y, x) in enumerate([(3, 5), (0, 7)]):
+            np.testing.assert_allclose(out[i], img[i, y:y + 8, x:x + 8],
+                                       atol=1e-6)
+
+    def test_resize_matches_cv2_linear_interior(self):
+        import cv2
+        rs = np.random.RandomState(5)
+        img = rs.rand(1, 16, 16, 3).astype(np.float32)
+        s = 1.25  # resized 20x20, crop 16x16 at offset (2, 1)
+        want_full = cv2.resize(img[0], (20, 20),
+                               interpolation=cv2.INTER_LINEAR)
+        want = want_full[2:18, 1:17]
+        got = np.asarray(dev_aug.apply_geometry(
+            jnp.asarray(img), 16, jnp.zeros((1,)),
+            jnp.asarray([20 / 16]), jnp.asarray([20 / 16]),
+            jnp.asarray([2.0]), jnp.asarray([1.0])))[0]
+        # interior only: the half-pixel border differs (zero-fill vs
+        # cv2's edge clamping)
+        np.testing.assert_allclose(got[1:-1, 1:-1], want[1:-1, 1:-1],
+                                   atol=1e-5)
+
+    def test_rotation_matches_cv2_warpaffine_interior(self):
+        import cv2
+        rs = np.random.RandomState(6)
+        img = rs.rand(1, 24, 24, 3).astype(np.float32)
+        deg = 13.0
+        mat = cv2.getRotationMatrix2D((12.0, 12.0), deg, 1.0)
+        want = cv2.warpAffine(img[0], mat, (24, 24))
+        got = np.asarray(dev_aug.apply_geometry(
+            jnp.asarray(img), 24, jnp.asarray([np.deg2rad(deg)]),
+            jnp.ones((1,)), jnp.ones((1,)),
+            jnp.zeros((1,)), jnp.zeros((1,))))[0]
+        # compare away from the zero-filled corners
+        np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4],
+                                   atol=1e-4)
+
+    def test_downscale_pads_centered_like_host_randomcrop(self):
+        """scale < 1: resized frame smaller than the crop -> centered
+        zero pad, matching host RandomCrop's np.pad branch."""
+        import cv2
+        rs = np.random.RandomState(7)
+        img = rs.rand(1, 16, 16, 3).astype(np.float32)
+        s = 0.5  # resized 8x8 inside a 16x16 output, pad 4 on each side
+        angle, sy, sx, offy, offx = dev_aug.sample_geometry(
+            jax.random.PRNGKey(0), 1, (16, 16), 16,
+            resize_param={"ratio": (s, s)}, crop_param={"size": 16})
+        assert float(offy[0]) == -4.0 and float(offx[0]) == -4.0
+        got = np.asarray(dev_aug.apply_geometry(
+            jnp.asarray(img), 16, angle, sy, sx, offy, offx))[0]
+        want_small = cv2.resize(img[0], (8, 8),
+                                interpolation=cv2.INTER_LINEAR)
+        # interior of the pasted region matches the cv2 downscale
+        np.testing.assert_allclose(got[5:11, 5:11], want_small[1:-1, 1:-1],
+                                   atol=0.15)
+        # pad region is zero
+        assert np.all(got[:3] == 0) and np.all(got[:, :3] == 0)
+        assert np.all(got[-3:] == 0) and np.all(got[:, -3:] == 0)
+
+    def test_augment_pairs_geometry_end_to_end(self):
+        """Full chain under jit: raw uint8 pair -> flip + rotation +
+        resize + crop + jitter, static (B, out, out, 3) output, geometry
+        shared across the pair."""
+        rs = np.random.RandomState(8)
+        raw_s = jnp.asarray(rs.randint(0, 256, (4, 32, 32), np.uint8))
+        raw_d = jnp.asarray(rs.randint(0, 256, (4, 32, 32), np.uint8))
+        fn = jax.jit(lambda s, d, k: dev_aug.augment_pairs(
+            s, d, k,
+            flip_param={"horizontal_flip": True},
+            rotation_param={"degrees": 10},
+            resize_param={"ratio": (0.9, 1.1)},
+            crop_param={"size": 24},
+            jitter_param={"brightness": 0.1, "hue": 0.1}))
+        s2, d2 = fn(raw_s, raw_d, jax.random.PRNGKey(1))
+        assert s2.shape == (4, 24, 24, 3) and d2.shape == (4, 24, 24, 3)
+        assert np.isfinite(np.asarray(s2)).all()
+        assert np.isfinite(np.asarray(d2)).all()
+        # geometry is shared across the pair: identical zero-fill masks
+        # (jitter maps exact zeros to zeros, so the fill survives it)
+        np.testing.assert_array_equal(np.asarray(s2) == 0, np.asarray(d2) == 0)
