@@ -315,3 +315,26 @@ def test_dm_shot_panels():
     ret["real_vid_conf"] = ret["fake_vid_conf"] = None
     img = dm_imgshot(ret, video, tc, tp)
     assert img.shape == (2 * hw, 5 * hw, 3)
+
+
+def test_train_ae_device_augment_geometry(tiny_setup, tmp_path):
+    """--device_augment with a geometry pipeline (rotation/resize/crop):
+    raw uint8 pairs + the in-graph affine-composed augmentation
+    (train/device_augment.py). Previously geometry configs were rejected
+    and forced the host path."""
+    cfg = yaml.safe_load(open(tiny_setup["cfg"]))
+    ap = cfg["dataset_params"].setdefault("augmentation_params", {})
+    ap["rotation_param"] = {"degrees": 10}
+    ap["resize_param"] = {"ratio": [0.9, 1.1]}
+    ap["crop_param"] = {"size": 32}
+    cfg_path = str(tmp_path / "geo.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    log_dir = str(tmp_path / "ae_geo")
+    r = run(["scripts/train_ae.py", "--config", cfg_path, "--log_dir",
+             log_dir, "--max_steps", "2", "--batch_size", "2",
+             "--device_augment"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    recs = [json.loads(l)
+            for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    losses = [x["loss_total"] for x in recs if "loss_total" in x]
+    assert losses and all(np.isfinite(losses))
