@@ -344,6 +344,16 @@ def _scoped_bytes_per_token(hidden: int, c: int) -> int:
     return hidden * 46 + 8 * c
 
 
+def _bwd_vmem_mult() -> float:
+    """Scoped-VMEM calibration factor for the backward kernels' live set
+    relative to the forward per-token model (_scoped_bytes_per_token).
+    Default 4 = the round-1 "~4x the forward's intermediates" observation;
+    EXTDM_BWD_VMEM_MULT lowers it to admit larger backward blocks for
+    block-size A/B probes (Mosaic errors loudly if a block then does not
+    actually fit the declared VMEM limit)."""
+    return float(os.environ.get("EXTDM_BWD_VMEM_MULT", "4"))
+
+
 def _pick_kt(n_tw: int, wh_rows: int, wd: int, wp: int, c: int,
              max_tokens: int = None, hidden: int = None,
              mult: int = 1) -> int:
@@ -1057,7 +1067,7 @@ def _stw_bwd_padded(x, g, gamma, w_qkv, w_proj, bias_hnn, cos, sin, masks,
     KT = _pick_kt(n_tw, wh, wd, Wp, C,
                   max_tokens=int(os.environ.get("EXTDM_STW_BWD_TOKENS",
                                                 "1024")),
-                  hidden=heads * dim_head, mult=4)
+                  hidden=heads * dim_head, mult=_bwd_vmem_mult())
     M = 0 if masks is None else masks.shape[0]
     hidden = heads * dim_head
     pack2 = _headpack_ok(heads, dim_head)
@@ -1643,7 +1653,7 @@ def _pick_hw(H: int, W: int, T: int, c: int, max_tokens: int,
     holds ~4x the forward's intermediates in VMEM)."""
     if T * W <= max_tokens:
         return _pick_hr(H, W, T, c, max_tokens=max_tokens, hidden=hidden,
-                        mult=4), W
+                        mult=_bwd_vmem_mult()), W
     wr = 1
     for cand in range(1, W + 1):
         if W % cand == 0 and T * cand <= max_tokens:

@@ -3,11 +3,15 @@
 rope). Variants strip one piece each; differences vs 'full' attribute time.
 
 Usage: python scripts/ablate_temporal.py [--batch 32] [--iters 7]
+
+stdout: one JSON object per variant ({"variant": ..., "ms": ...}) — the
+machine-readable artifact format. Human-readable table on stderr.
 """
 from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import sys
 import time
@@ -221,7 +225,10 @@ def main():
                          ("full_G1", "none", 1)]:
         ms = timed(functools.partial(run_variant, x, args_np, abl, g),
                    args.iters)
-        print(f"{name:26s} {ms:8.2f} ms")
+        # stdout is the machine-readable artifact (one JSON object per
+        # line); the human-readable table goes to stderr.
+        print(json.dumps({"variant": name, "ms": round(ms, 2)}), flush=True)
+        print(f"{name:26s} {ms:8.2f} ms", file=sys.stderr)
 
 
 if __name__ == "__main__":

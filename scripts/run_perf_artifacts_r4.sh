@@ -10,7 +10,7 @@
 #   1. ubench_mxu.json        — Mosaic batched-matmul floor at the exact
 #                               flagship attention shapes (pallas floor,
 #                               XLA floor, compute SOL).
-#   2. ablate_temporal.json   — fused temporal-kernel ablation table
+#   2. ablate_temporal.jsonl  — fused temporal-kernel ablation table
 #                               (seq-pack / head-pack / softmax / rope
 #                               attribution).
 #   3. bench_default.json     — the headline bench (sampling + train),
@@ -29,21 +29,33 @@ ROOT=${ROOT:-/tmp/shapes_ab}
 RUN=${RUN:-/tmp/runs_perf_r4}
 mkdir -p "$ART" "$RUN"
 
+# Write each stage's stdout to a temp file and mv into $ART only on
+# success, so a timeout/crash never leaves a truncated committed artifact.
+capture() {  # capture <dest> <cmd...>
+  local dest="$1"; shift
+  local tmp
+  tmp=$(mktemp "$RUN/stage.XXXXXX")
+  "$@" > "$tmp"
+  mv "$tmp" "$dest"
+}
+
 if [ "${SKIP_UBENCH:-0}" != 1 ]; then
-  timeout 900 python scripts/ubench_mxu.py > "$ART/ubench_mxu.json"
+  capture "$ART/ubench_mxu.json" timeout 900 python scripts/ubench_mxu.py
 fi
 
 if [ "${SKIP_ABLATE:-0}" != 1 ]; then
-  timeout 1800 python scripts/ablate_temporal.py > "$ART/ablate_temporal.json"
+  # JSONL: one {"variant": ..., "ms": ...} object per line.
+  capture "$ART/ablate_temporal.jsonl" \
+      timeout 3600 python scripts/ablate_temporal.py
 fi
 
 if [ "${SKIP_BENCH:-0}" != 1 ]; then
-  timeout 1800 python bench.py > "$ART/bench_default.json"
+  capture "$ART/bench_default.json" timeout 1800 python bench.py
 fi
 
 if [ "${SKIP_TMAJOR:-0}" != 1 ]; then
-  EXTDM_ADAPTOR_TMAJOR=0 timeout 1800 python bench.py \
-      > "$ART/bench_tmajor_off.json"
+  capture "$ART/bench_tmajor_off.json" \
+      env EXTDM_ADAPTOR_TMAJOR=0 timeout 1800 python bench.py
 fi
 
 if [ "${SKIP_AE_AB:-0}" != 1 ]; then
@@ -55,6 +67,9 @@ if [ "${SKIP_AE_AB:-0}" != 1 ]; then
   STEPS=${AE_AB_STEPS:-500}
   # shapes.yaml logs every 500 steps — too coarse for a short A/B; use a
   # copy with 100-step jsonl windows so each arm commits ~5 windows.
+  # Fail fast if the pattern drifts (a silent sed no-op would leave each
+  # arm with a single metrics window).
+  grep -q 'print_freq: 500' configs/AE/shapes.yaml
   sed 's/print_freq: 500/print_freq: 100/' configs/AE/shapes.yaml \
       > "$RUN/shapes_ab.yaml"
   for arm in host device; do
