@@ -39,13 +39,19 @@ import numpy as np
 HEADS, DIM_HEAD = 8, 32
 
 
+def _read(out):
+    """Force a device->host scalar read — the tunnel's block_until_ready
+    returns optimistically, so only a host read really syncs."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf[tuple(0 for _ in leaf.shape)]))
+
+
 def timed(fn, args_, iters):
-    out = fn(*args_)
-    jax.block_until_ready(out)
+    _read(fn(*args_))  # compile + warm
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args_))
+        _read(fn(*args_))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
 
@@ -89,7 +95,7 @@ def main():
     fwd_ms = timed(fwd, (x, params), args.iters) / args.chain
     fb_ms = timed(grad, (x, params), args.iters) / args.chain
     arm = {k: os.environ.get(k) for k in
-           ("EXTDM_TEMPORAL_BWD_TOKENS", "EXTDM_TEMPORAL_BWD_MULT",
+           ("EXTDM_TEMPORAL_BWD_TOKENS", "EXTDM_BWD_VMEM_MULT",
             "EXTDM_PALLAS_VMEM_MB", "EXTDM_PALLAS_BWD") if k in os.environ}
     print(json.dumps({
         "arm": arm or "default",
